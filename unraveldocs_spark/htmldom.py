@@ -1,0 +1,200 @@
+"""Minimal HTML DOM used by the sanitizer and the main-content walk.
+
+Built on the stdlib ``html.parser`` (C-accelerated tokenizer) with a small
+set of html5-ish auto-close rules, enough for the fragment HTML the
+reference deals with (jsoup ``parseBodyFragment`` in
+SRC/wordexport/impl/DocxExportServiceImpl.java:47 and ``Jsoup.clean`` in
+SRC/ocrprocessing/impl/UpdateOcrContentImpl.java:100).
+
+No Spark imports — runs inside Arrow batches on executors.
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape, unescape
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# content of these is raw data (jsoup DataNode), discarded by text walks
+DATA_ELEMENTS = frozenset(("script", "style"))
+
+# simplified html5 auto-close: opening key closes an open element in value
+_AUTO_CLOSE = {
+    "p": {"p"},
+    "li": {"li"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "option": {"option"},
+}
+
+# block-level elements close an open <p> (html5 behaviour)
+_BLOCK_CLOSES_P = frozenset(
+    "address article aside blockquote div dl fieldset figure footer form "
+    "h1 h2 h3 h4 h5 h6 header hr main nav ol p pre section table ul".split()
+)
+
+BLOCK_ELEMENTS = _BLOCK_CLOSES_P | frozenset(("li", "dt", "dd", "tr", "td", "th", "caption"))
+
+
+class Node:
+    __slots__ = ("parent",)
+
+
+class TextNode(Node):
+    __slots__ = ("whole_text",)
+
+    def __init__(self, text: str):
+        self.parent = None
+        self.whole_text = text
+
+    def text(self) -> str:
+        """jsoup TextNode.text(): whitespace-normalised whole text
+        (runs of whitespace collapse to a single space)."""
+        return normalize_whitespace(self.whole_text)
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs=None):
+        self.parent = None
+        self.tag = tag
+        self.attrs: list[tuple[str, str]] = attrs or []
+        self.children: list[Node] = []
+
+    def append(self, node: Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def child_elements(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def text(self) -> str:
+        """jsoup Element.text(): normalised, trimmed text of all descendant
+        text nodes, with a single space at block/br boundaries."""
+        parts: list[str] = []
+
+        def walk(el: Element) -> None:
+            if el.tag in DATA_ELEMENTS:
+                return
+            for child in el.children:
+                if isinstance(child, TextNode):
+                    t = child.text()
+                    if t:
+                        if t == " " and (not parts or parts[-1].endswith(" ")):
+                            continue
+                        parts.append(t)
+                else:
+                    if child.tag == "br" or child.tag in BLOCK_ELEMENTS:
+                        if parts and not parts[-1].endswith(" "):
+                            parts.append(" ")
+                    walk(child)
+
+        walk(self)
+        return normalize_whitespace("".join(parts)).strip()
+
+
+_WS_RUN_RE = re.compile(r"\s+")
+
+
+def normalize_whitespace(text: str) -> str:
+    """jsoup StringUtil.normaliseWhitespace: collapse whitespace runs
+    (space, tab, newline, form feed, CR) to single spaces."""
+    return _WS_RUN_RE.sub(" ", text)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("body")
+        self.stack: list[Element] = [self.root]
+
+    # -- helpers -------------------------------------------------------
+    def _open_tags(self) -> list[str]:
+        return [el.tag for el in self.stack]
+
+    def _close_until(self, tags: set[str]) -> None:
+        """Pop the nearest open element whose tag is in ``tags`` (if any
+        above body), closing everything inside it."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag in tags:
+                del self.stack[i:]
+                return
+
+    # -- parser hooks ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _AUTO_CLOSE:
+            self._close_until(_AUTO_CLOSE[tag])
+        if tag in _BLOCK_CLOSES_P and "p" in self._open_tags():
+            self._close_until({"p"})
+        el = Element(tag, [(k.lower(), v if v is not None else "") for k, v in attrs])
+        self.stack[-1].append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.lower()
+        el = Element(tag, [(k.lower(), v if v is not None else "") for k, v in attrs])
+        self.stack[-1].append(el)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched close tag: ignored (html5 behaviour for most tags)
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].append(TextNode(data))
+
+
+def parse_body_fragment(html: str) -> Element:
+    """Parse an HTML fragment and return the synthetic <body> element
+    (jsoup Jsoup.parseBodyFragment(html).body())."""
+    builder = _TreeBuilder()
+    builder.feed(html or "")
+    builder.close()
+    return builder.root
+
+
+def serialize(el: Element, out: list[str]) -> None:
+    """Serialize an element compactly (no pretty-printing — documented
+    deviation from jsoup's default pretty output; the reference pins only
+    content, not indentation: UpdateOcrContentImplTest.java:133-153)."""
+    for child in el.children:
+        if isinstance(child, TextNode):
+            out.append(escape(child.whole_text, quote=False))
+        else:
+            attrs = "".join(
+                f' {k}="{escape(v, quote=True)}"' for k, v in child.attrs
+            )
+            if child.tag in VOID_ELEMENTS:
+                out.append(f"<{child.tag}{attrs}>")
+            else:
+                out.append(f"<{child.tag}{attrs}>")
+                serialize(child, out)
+                out.append(f"</{child.tag}>")
+
+
+__all__ = [
+    "Node",
+    "TextNode",
+    "Element",
+    "parse_body_fragment",
+    "serialize",
+    "normalize_whitespace",
+    "unescape",
+    "VOID_ELEMENTS",
+    "DATA_ELEMENTS",
+    "BLOCK_ELEMENTS",
+]

@@ -1,0 +1,402 @@
+"""Pure-Python re-implementation of the UnravelDocs extraction semantics.
+
+This module is the single source of truth for the per-payload extraction
+rules.  The fixture oracle (``oracle.py``) calls it row-by-row; the Spark
+stage (``extract.py``) calls it from inside Arrow-batched ``mapInPandas``.
+Every function documents the reference file:line it mirrors (paths relative
+to /root/reference, SRC = src/main/java/com/extractor/unraveldocs).
+
+No Spark imports here — this file must be importable on executors and in
+plain CPython for the oracle/tests.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Page selection — mirrors SRC/ocrprocessing/dto/request/PdfPageRange.java
+# ---------------------------------------------------------------------------
+
+
+class PageSelectionError(ValueError):
+    """Mirrors the IllegalArgumentException raised by
+    PdfPageRange.validate (PdfPageRange.java:77-110)."""
+
+
+def has_selection(start_page, end_page, pages) -> bool:
+    """PdfPageRange.hasSelection (PdfPageRange.java:60-62)."""
+    return start_page is not None or end_page is not None or bool(pages)
+
+
+def validate_page_selection(start_page, end_page, pages, total_pages: int) -> None:
+    """PdfPageRange.validate (PdfPageRange.java:77-110).
+
+    Discrete mode (non-empty ``pages``) is checked first and *only* its
+    rules apply; message strings match the reference exactly.
+    """
+    if pages:
+        for page in pages:
+            if page < 1:
+                raise PageSelectionError(f"Page numbers must be >= 1, got: {page}")
+            if page > total_pages:
+                raise PageSelectionError(
+                    f"Page {page} exceeds total pages ({total_pages})"
+                )
+        return
+    if start_page is not None and start_page < 1:
+        raise PageSelectionError(f"startPage must be >= 1, got: {start_page}")
+    if end_page is not None and end_page < 1:
+        raise PageSelectionError(f"endPage must be >= 1, got: {end_page}")
+    if start_page is not None and end_page is not None and start_page > end_page:
+        raise PageSelectionError(
+            f"startPage ({start_page}) must be <= endPage ({end_page})"
+        )
+    if start_page is not None and start_page > total_pages:
+        raise PageSelectionError(
+            f"startPage ({start_page}) exceeds total pages ({total_pages})"
+        )
+    if end_page is not None and end_page > total_pages:
+        raise PageSelectionError(
+            f"endPage ({end_page}) exceeds total pages ({total_pages})"
+        )
+
+
+def effective_pages(start_page, end_page, pages, total_pages: int) -> list[int]:
+    """PdfPageRange.getEffectivePages (PdfPageRange.java:118-132), composed
+    with PdfTextExtractor.resolvePages (PdfTextExtractor.java:84-90).
+
+    Returns the 0-indexed page list: discrete pages (priority) are
+    converted to 0-indexed, deduplicated and sorted ascending; range mode
+    is the inclusive 1-indexed [start..end] (defaults 1..total); no
+    selection at all means every page.
+    """
+    if not has_selection(start_page, end_page, pages):
+        return list(range(total_pages))
+    if pages:
+        return sorted({p - 1 for p in pages})
+    start = (start_page if start_page is not None else 1) - 1
+    end = end_page if end_page is not None else total_pages
+    return list(range(start, end))
+
+
+# ---------------------------------------------------------------------------
+# Multi-page assembly — mirrors SRC/ocrprocessing/utils/PdfTextExtractor.java
+# ---------------------------------------------------------------------------
+
+
+def _join_page_segments(
+    segments: list[tuple[int, str]],
+) -> tuple[str, list[tuple[int, int, str]]]:
+    """Join (1-indexed page number, stripped page text) segments with the
+    reference's ``\\n--- Page {n} ---\\n`` separator placed *before* every
+    segment except the first, and compute (start, end, "page") spans over
+    each segment's content."""
+    parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    for i, (page_no, content) in enumerate(segments):
+        if i > 0:
+            sep = f"\n--- Page {page_no} ---\n"
+            parts.append(sep)
+            pos += len(sep)
+        spans.append((pos, pos + len(content), "page"))
+        parts.append(content)
+        pos += len(content)
+    return "".join(parts), spans
+
+
+def direct_page_segments(page_texts: list, pages_to_process: list[int]) -> list[tuple[int, str]]:
+    """PdfTextExtractor.extractDirectText (PdfTextExtractor.java:95-114).
+
+    Pages processed in the given (ascending) 0-indexed order.  A page that
+    is None or blank contributes nothing — not even a separator (the
+    header at line 107 is only appended when the page passed the blank
+    check at 105 and the accumulator is non-empty at 106).  Each
+    contributing page's text is ``strip()``-ed (line 109; Java
+    String.strip and Python str.strip are both Unicode-aware).
+    """
+    segments: list[tuple[int, str]] = []
+    for page_index in pages_to_process:
+        page_text = page_texts[page_index]
+        if page_text is not None and page_text.strip() != "":
+            segments.append((page_index + 1, page_text.strip()))
+    return segments
+
+
+def ocr_page_segments(ocr_page_texts: list, pages_to_process: list[int]) -> list[tuple[int, str]]:
+    """PdfTextExtractor.extractTextViaOcr (PdfTextExtractor.java:119-143).
+
+    Unlike the direct path, the OCR path does NOT skip blank pages: the
+    separator is appended whenever the accumulator is non-empty and the
+    stripped page text is appended unconditionally (lines 136-139).  A
+    blank page *before* the first contributor leaves the accumulator empty
+    (so no header for it, and none for the next page either); a blank page
+    *after* a contributor still gets a header.  OCR of a None page is the
+    empty string (deterministic stand-in for rendering an empty image).
+    """
+    segments: list[tuple[int, str]] = []
+    accumulated = False
+    for page_index in pages_to_process:
+        page_text = ocr_page_texts[page_index]
+        stripped = "" if page_text is None else page_text.strip()
+        if not accumulated and stripped == "":
+            # appends "" with no header: accumulator stays empty
+            continue
+        segments.append((page_index + 1, stripped))
+        accumulated = True
+    return segments
+
+
+def assemble_direct_text(page_texts: list, pages_to_process: list[int]) -> str:
+    """Text-only view of :func:`direct_page_segments`."""
+    return _join_page_segments(direct_page_segments(page_texts, pages_to_process))[0]
+
+
+def assemble_ocr_text(ocr_page_texts: list, pages_to_process: list[int]) -> str:
+    """Text-only view of :func:`ocr_page_segments`."""
+    return _join_page_segments(ocr_page_segments(ocr_page_texts, pages_to_process))[0]
+
+
+def extract_pdf_like(
+    pages: list,
+    ocr_pages: list | None,
+    start_page,
+    end_page,
+    select_pages,
+) -> tuple[str, list[tuple[int, int, str]], bool]:
+    """PdfTextExtractor.extractTextFromBytes (PdfTextExtractor.java:53-79).
+
+    Validate selection if present (lines 60-62), resolve pages, try direct
+    assembly; if the combined direct text is blank fall back to OCR
+    assembly over the SAME selected pages (never mixed per-page,
+    lines 68-77).  ``ocr_pages`` is the deterministic stand-in for
+    Tesseract output at 300 DPI (line 34).
+
+    Returns (text, page spans, used_ocr_fallback).
+    """
+    total_pages = len(pages)
+    if has_selection(start_page, end_page, select_pages):
+        validate_page_selection(start_page, end_page, select_pages, total_pages)
+    pages_to_process = effective_pages(start_page, end_page, select_pages, total_pages)
+    direct_segments = direct_page_segments(pages, pages_to_process)
+    direct, spans = _join_page_segments(direct_segments)
+    if direct.strip() != "":
+        return direct, spans, False
+    if ocr_pages is None:
+        ocr_pages = [None] * total_pages
+    text, spans = _join_page_segments(ocr_page_segments(ocr_pages, pages_to_process))
+    return text, spans, True
+
+
+# ---------------------------------------------------------------------------
+# Fence strip + JSON parse with defaults
+# mirrors SRC/ai/service/AiClassificationService.java:152-186
+# ---------------------------------------------------------------------------
+
+_FENCE_OPEN_RE = re.compile(r"^```(?:json)?\s*")
+_FENCE_CLOSE_RE = re.compile(r"\s*```$")
+
+CLASSIFY_DEFAULTS = ("other", ["unclassified"], 0.0)
+
+
+def strip_code_fences(text: str) -> str:
+    """The fence-strip step of parseClassificationResponse
+    (AiClassificationService.java:155-159): ``strip()`` the whole string;
+    if it startswith ``` remove a leading ```` ```/```json ```` fence and a
+    trailing ```` ``` ```` fence (single replacement each, mirroring
+    Java replaceAll on an anchored pattern)."""
+    cleaned = text.strip()
+    if cleaned.startswith("```"):
+        cleaned = _FENCE_OPEN_RE.sub("", cleaned, count=1)
+        cleaned = _FENCE_CLOSE_RE.sub("", cleaned, count=1)
+    return cleaned
+
+
+def parse_classification(text: str) -> tuple[str, list[str], float]:
+    """parseClassificationResponse (AiClassificationService.java:152-186):
+    fence-strip, JSON-parse; fields with per-field defaults
+    (document_type -> "other", tags -> [], confidence -> 0.5); any parse
+    failure -> ("other", ["unclassified"], 0.0)."""
+    try:
+        cleaned = strip_code_fences(text)
+        root = json.loads(cleaned)
+        if not isinstance(root, dict):
+            raise ValueError("not an object")
+        # document_type: asText("other") — default only for JSON null
+        dt = root.get("document_type") if "document_type" in root else None
+        if dt is None:
+            document_type = "other"
+        elif isinstance(dt, bool):
+            document_type = "true" if dt else "false"
+        else:
+            document_type = str(dt)
+        tags: list[str] = []
+        if isinstance(root.get("tags"), list):
+            tags = [str(t) for t in root["tags"]]
+        # confidence: asDouble(0.5) — Jackson coerces numbers and numeric
+        # strings, anything else falls back to the 0.5 default
+        conf = root.get("confidence")
+        confidence = 0.5
+        if isinstance(conf, (int, float)) and not isinstance(conf, bool):
+            confidence = float(conf)
+        elif isinstance(conf, str):
+            try:
+                confidence = float(conf)
+            except ValueError:
+                confidence = 0.5
+        return (document_type, tags, confidence)
+    except Exception:
+        return CLASSIFY_DEFAULTS
+
+
+# ---------------------------------------------------------------------------
+# Input truncation — SRC/ai/config/AiProperties.java:46 (default 30000) and
+# AiSummarizationService.java:165-171 / AiClassificationService.java:191-198
+# ---------------------------------------------------------------------------
+
+MAX_INPUT_LENGTH = 30_000
+
+
+def truncate_text(text: str, max_length: int = MAX_INPUT_LENGTH) -> str:
+    """truncateText: substring(0, maxLength) only when longer."""
+    return text[:max_length] if len(text) > max_length else text
+
+
+# ---------------------------------------------------------------------------
+# Small string operators (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+SINGLE_FILE_BYTE_CAP = 10 * 1024 * 1024  # FileSize.java:7 (10 MB single file)
+BATCH_BYTE_CAP = 50 * 1024 * 1024  # FileSize.java:8 (50 MB per batch)
+
+# error messages (F7) — analogs of the reference's exception texts
+ERR_NO_DATA = "Invalid OCR request: no image data provided"  # TesseractOcrProvider.java:64-69
+ERR_OVERSIZED = "File size exceeds maximum allowed size of 10MB"  # FileUploadValidationUtil/FileSize analog
+ERR_UNSUPPORTED = "Unsupported payload kind"  # FileType.java allowlist analog
+
+
+def split_tags(tags: str | None) -> list[str]:
+    """aiTags comma-join inverse (GetOcrDataImpl.java:65-71 /
+    UpdateOcrContentImpl.buildFileResultData:137-143):
+    split(',') -> trim -> drop empties.  None/blank -> []."""
+    if tags is None or tags.strip() == "":
+        return []
+    return [t for t in (p.strip() for p in tags.split(",")) if t != ""]
+
+
+def text_preview(text: str | None, limit: int = 200) -> str | None:
+    """DocumentSearchService.createPreview (DocumentSearchService.java:188-194):
+    text[:200] + "..." when longer."""
+    if text is None:
+        return None
+    return text[:limit] + "..." if len(text) > limit else text
+
+
+def sanitize_logging(value: str | None) -> str | None:
+    """SRC/documents/utils/SanitizeLogging.java: strip CR/LF."""
+    if value is None:
+        return None
+    return value.replace("\r", "").replace("\n", "")
+
+
+def sanitize_error_type(error: str | None, cap: int = 50) -> str:
+    """OcrMetrics.sanitizeErrorType (OcrMetrics.java:162-170): lowercase,
+    non-[a-z0-9_] -> '_', truncate to 50 chars."""
+    if error is None or error == "":
+        return "unknown"
+    out = re.sub(r"[^a-z0-9_]", "_", error.lower())
+    return out[:cap]
+
+
+_WS_SPLIT_RE = re.compile(r"\s+")
+
+
+def word_count(text: str | None) -> int:
+    """OcrResult.getWordCount (OcrResult.java:83-88): Java
+    ``text.trim().split("\\s+").length`` with empty/None -> 0.
+    Java split on an empty trimmed string yields [""] (length 1), but the
+    reference guards with isEmpty() first and returns 0."""
+    if text is None:
+        return 0
+    trimmed = text.strip()
+    if trimmed == "":
+        return 0
+    return len(_WS_SPLIT_RE.split(trimmed))
+
+
+def char_count(text: str | None) -> int:
+    """OcrResult.getCharacterCount (OcrResult.java:76-78)."""
+    return len(text) if text is not None else 0
+
+
+# ---------------------------------------------------------------------------
+# Conversation rollup ladder
+# mirrors ProcessOcr.updateCollectionStatus (ProcessOcr.java:185-217)
+# ---------------------------------------------------------------------------
+
+STATUS_COMPLETED = "COMPLETED"
+STATUS_FAILED = "FAILED"
+
+ROLLUP_PROCESSED = "PROCESSED"
+ROLLUP_FAILED_OCR = "FAILED_OCR"
+ROLLUP_PROCESSING = "PROCESSING"
+
+
+def rollup_status(total: int, completed: int, failed: int) -> str:
+    """ProcessOcr.java:185-217: empty -> PROCESSED; all completed ->
+    PROCESSED; completed+failed == total -> FAILED_OCR; else PROCESSING."""
+    if total == 0:
+        return ROLLUP_PROCESSED
+    if completed == total:
+        return ROLLUP_PROCESSED
+    if completed + failed == total:
+        return ROLLUP_FAILED_OCR
+    return ROLLUP_PROCESSING
+
+
+# ---------------------------------------------------------------------------
+# Payload envelope — the graft's canonical encoding of structured payloads
+# inside the transcripts `text` column (FIXTURES.md §3 F1-F3).
+# ---------------------------------------------------------------------------
+
+ENVELOPE_PREFIX = '{"kind":'
+
+
+@dataclass
+class Envelope:
+    kind: str
+    pages: list = field(default_factory=list)
+    ocr_pages: list | None = None
+    start_page: int | None = None
+    end_page: int | None = None
+    select_pages: list | None = None
+
+
+def try_parse_envelope(text: str):
+    """Parse the JSON payload envelope if `text` looks like one.
+
+    Returns an Envelope, or None when the text is not an envelope.  A text
+    that *looks* like an envelope but fails to parse is treated as not an
+    envelope (falls through to the plain-text path) — malformed structured
+    payloads never fail the row, mirroring the defaults-not-failure policy
+    of AiClassificationService.java:180-185.
+    """
+    if text is None or not text.startswith(ENVELOPE_PREFIX):
+        return None
+    try:
+        obj = json.loads(text)
+        if not isinstance(obj, dict) or "kind" not in obj:
+            return None
+        return Envelope(
+            kind=str(obj["kind"]),
+            pages=obj.get("pages") or [],
+            ocr_pages=obj.get("ocr_pages"),
+            start_page=obj.get("start_page"),
+            end_page=obj.get("end_page"),
+            select_pages=obj.get("select_pages"),
+        )
+    except (ValueError, TypeError):
+        return None
