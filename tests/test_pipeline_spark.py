@@ -1,0 +1,204 @@
+"""Distributed-pipeline correctness: per-turn exact text equality vs the
+single-threaded oracle (BASELINE.json input_hint), stable ordering under
+salted repartitioning, resume idempotency, rollup ladder."""
+
+import pandas as pd
+import pytest
+
+from unraveldocs_spark import generator as G
+from unraveldocs_spark import oracle as O
+from unraveldocs_spark.checkpoint import DirCheckpointStore
+from unraveldocs_spark.extract import extract_stage
+from unraveldocs_spark.pipeline import run_extraction, salted_repartition
+from unraveldocs_spark.rollup import conversation_rollup
+
+N_CONVS = 20  # sf-smoke (FIXTURES.md §5)
+HOT_FACTOR = 25  # hot conversation = 25x median for the smoke tier
+
+
+@pytest.fixture(scope="module")
+def smoke_pdf():
+    return G.transcripts_pandas(N_CONVS, hot_factor=HOT_FACTOR)
+
+
+@pytest.fixture(scope="module")
+def expected(smoke_pdf):
+    rows = list(
+        zip(
+            smoke_pdf.conv_id,
+            smoke_pdf.turn_idx,
+            smoke_pdf.role,
+            [None if t is None else t for t in smoke_pdf.text],
+            [None if t is None else t for t in smoke_pdf.tool],
+        )
+    )
+    return {(r["conv_id"], r["turn_idx"]): r for r in O.oracle_rows(rows)}
+
+
+@pytest.fixture(scope="module")
+def smoke_sdf(spark, smoke_pdf):
+    from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+    return spark.createDataFrame(smoke_pdf, schema=TRANSCRIPTS_SCHEMA)
+
+
+class TestExactEquality:
+    def test_per_turn_text_equality(self, spark, smoke_sdf, expected):
+        got = extract_stage(salted_repartition(smoke_sdf, 16)).collect()
+        assert len(got) == len(expected)
+        mismatches = []
+        for row in got:
+            exp = expected[(row.conv_id, row.turn_idx)]
+            if row.extracted_text != exp["extracted_text"]:
+                mismatches.append((row.conv_id, row.turn_idx))
+        assert mismatches == [], f"{len(mismatches)} text mismatches: {mismatches[:5]}"
+
+    def test_status_error_spans_equality(self, spark, smoke_sdf, expected):
+        got = extract_stage(smoke_sdf).collect()
+        for row in got:
+            exp = expected[(row.conv_id, row.turn_idx)]
+            assert row.status == exp["status"], (row.conv_id, row.turn_idx)
+            assert row.error_message == exp["error_message"]
+            got_spans = [(s.start, s.end, s.kind) for s in (row.spans or [])]
+            exp_spans = [(s["start"], s["end"], s["kind"]) for s in exp["spans"]]
+            assert got_spans == exp_spans, (row.conv_id, row.turn_idx)
+            assert row.rule == exp["rule"]
+
+    def test_all_families_present(self, expected):
+        rules = {e["rule"] for e in expected.values()}
+        assert {
+            O.RULE_PLAIN,
+            O.RULE_HTML,
+            O.RULE_PAGES_DIRECT,
+            O.RULE_PAGES_OCR_FALLBACK,
+            O.RULE_TOOL_FENCE,
+            O.RULE_ERROR_NO_DATA,
+            O.RULE_ERROR_UNSUPPORTED,
+            O.RULE_ERROR_OVERSIZE,
+        } <= rules
+
+    def test_spans_index_into_text(self, spark, smoke_sdf):
+        for row in extract_stage(smoke_sdf).collect():
+            if row.extracted_text is None:
+                continue
+            for s in row.spans or []:
+                assert 0 <= s.start <= s.end <= len(row.extracted_text)
+
+
+class TestOrdering:
+    def test_sort_within_partitions_stable(self, spark, smoke_sdf):
+        """Within every task partition, rows are (conv_id, turn_idx)
+        ordered after the salted repartition (F8 ordering stress)."""
+        from pyspark.sql import functions as F
+
+        staged = salted_repartition(smoke_sdf, 16)
+
+        def check(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                keys = list(zip(pdf.conv_id, pdf.turn_idx))
+                yield pd.DataFrame({"ok": [keys == sorted(keys)]})
+
+        oks = staged.mapInPandas(check, schema="ok boolean").collect()
+        assert all(r.ok for r in oks)
+
+    def test_hot_conversation_spread(self, spark, smoke_sdf):
+        """The hot conversation must occupy more than one task partition
+        (salting defuses the skew a plain repartition(conv_id) would pin)."""
+        from pyspark.sql import functions as F
+
+        staged = salted_repartition(smoke_sdf, 16)
+        n_parts = (
+            staged.filter(F.col("conv_id") == G.conv_name(0))
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert n_parts > 1
+
+
+class TestResume:
+    def test_kill_and_resume(self, spark, smoke_sdf, expected, tmp_path):
+        from pyspark.sql import functions as F
+
+        store = DirCheckpointStore(str(tmp_path / "ckpt"))
+
+        # run 1: only even turns survive the "crash" (partial snapshot)
+        first_half = smoke_sdf.filter(F.col("turn_idx") % 2 == 0)
+        r1 = run_extraction(spark, first_half, store=store, num_partitions=8)
+        assert r1["snapshot_id"] == "snap-000001"
+        n_half = first_half.count()
+        assert r1["new_rows"] == n_half
+
+        # run 2: full input; resume must process ONLY the missing rows
+        r2 = run_extraction(spark, smoke_sdf, store=store, num_partitions=8)
+        assert r2["new_rows"] == len(expected) - n_half
+
+        # run 3: nothing left to do (idempotency, ProcessOcr.java:71-74)
+        r3 = run_extraction(spark, smoke_sdf, store=store, num_partitions=8)
+        assert r3["new_rows"] == 0
+
+        # final state equals the oracle exactly, no duplicates
+        final = store.results(spark).collect()
+        assert len(final) == len(expected)
+        for row in final:
+            exp = expected[(row.conv_id, row.turn_idx)]
+            assert row.extracted_text == exp["extracted_text"]
+
+    def test_lineage_rows(self, spark, smoke_sdf, tmp_path):
+        import json
+
+        store = DirCheckpointStore(str(tmp_path / "ckpt2"))
+        run_extraction(spark, smoke_sdf, store=store, num_partitions=8)
+        lineage = store.lineage(spark).collect()
+        assert len(lineage) > 0
+        total = sum(r.turns_processed for r in lineage)
+        assert total == smoke_sdf.count()
+        assert all(r.bytes_parsed >= 0 for r in lineage)
+        hits = json.loads(lineage[0].rule_hits)
+        assert isinstance(hits, dict) and hits
+
+
+class TestRollup:
+    def test_matches_reference_ladder(self, spark, smoke_sdf, expected):
+        from unraveldocs_spark import semantics as S
+
+        got = {
+            r.conv_id: r
+            for r in conversation_rollup(extract_stage(smoke_sdf)).collect()
+        }
+        # compute expected ladder from oracle rows
+        per_conv = {}
+        for (conv_id, _), e in expected.items():
+            tot, ok, ko = per_conv.get(conv_id, (0, 0, 0))
+            per_conv[conv_id] = (
+                tot + 1,
+                ok + (e["status"] == "COMPLETED"),
+                ko + (e["status"] == "FAILED"),
+            )
+        assert set(got) == set(per_conv)
+        for conv_id, (tot, ok, ko) in per_conv.items():
+            row = got[conv_id]
+            assert (row.total_turns, row.completed, row.failed) == (tot, ok, ko)
+            assert row.collection_status == S.rollup_status(tot, ok, ko)
+
+    def test_ladder_values(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["a", "a", "b", "b", "c", "c"],
+                "status": ["COMPLETED", "COMPLETED", "COMPLETED", "FAILED", "COMPLETED", "PENDING"],
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        got = {r.conv_id: r.collection_status for r in conversation_rollup(sdf).collect()}
+        assert got == {"a": "PROCESSED", "b": "FAILED_OCR", "c": "PROCESSING"}
+
+
+class TestGeneratorParity:
+    def test_spark_generator_matches_pandas(self, spark):
+        pdf = G.transcripts_pandas(6, hot_factor=3, include_oversize=False)
+        sdf = G.transcripts_spark(spark, 6, hot_factor=3, include_oversize=False)
+        got = sdf.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        exp = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

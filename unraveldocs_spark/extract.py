@@ -1,0 +1,82 @@
+"""The vectorized extraction stage — one Arrow-batched ``mapInPandas``
+implementing the payload-kind dispatch (the column-level analog of
+OcrProviderFactory, SRC/ocrprocessing/provider/OcrProviderFactory.java:19-188)
+with row-level error capture (ProcessOcr.java:129-139: a poisoned payload
+becomes a FAILED row, never a failed task).
+
+Data crosses the JVM<->Python boundary once, in Arrow batches
+(spark.sql.execution.arrow.maxRecordsPerBatch); all row work happens in
+CPython on already-materialized batch columns — no per-row Python UDF
+round trips (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .oracle import extract_turn
+from .schemas import EXTRACTIONS_SCHEMA
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        conv_ids = pdf["conv_id"].to_numpy()
+        turn_idxs = pdf["turn_idx"].to_numpy()
+        roles = pdf["role"].to_numpy()
+        texts = pdf["text"].to_numpy()
+        tools = pdf["tool"].to_numpy()
+
+        n = len(pdf)
+        extracted = [None] * n
+        spans = [None] * n
+        status = [None] * n
+        error = [None] * n
+        fmt = [None] * n
+        rule = [None] * n
+        n_chars = [0] * n
+        n_words = [0] * n
+
+        for i in range(n):
+            text = texts[i]
+            if text is not None and not isinstance(text, str):
+                # pandas may surface NULL as NaN
+                text = None if text != text else str(text)
+            tool = tools[i]
+            if tool is not None and not isinstance(tool, str):
+                tool = None if tool != tool else str(tool)
+            r = extract_turn(roles[i], tool, text)
+            extracted[i] = r.extracted_text
+            spans[i] = [
+                {"start": s, "end": e, "kind": k} for (s, e, k) in r.spans
+            ]
+            status[i] = r.status
+            error[i] = r.error_message
+            fmt[i] = r.content_format
+            rule[i] = r.rule
+            n_chars[i] = r.n_chars
+            n_words[i] = r.n_words
+
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_ids,
+                "turn_idx": turn_idxs,
+                "extracted_text": extracted,
+                "spans": spans,
+                "status": status,
+                "error_message": error,
+                "content_format": fmt,
+                "rule": rule,
+                "n_chars": pd.array(n_chars, dtype="int32"),
+                "n_words": pd.array(n_words, dtype="int32"),
+            }
+        )
+
+
+def extract_stage(transcripts_df):
+    """transcripts (conv_id, turn_idx, role, text, tool, ts) ->
+    extractions (EXTRACTIONS_SCHEMA)."""
+    return transcripts_df.select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    ).mapInPandas(_extract_batches, schema=EXTRACTIONS_SCHEMA)
