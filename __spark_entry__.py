@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline at sf0.001;
+``queries()``/``oracle_sql()`` expose the operator inventory (SURVEY.md §2)
+plus the training-data operators, each with a DuckDB oracle where the
+semantics are SQL-expressible (rows-only otherwise; those are verified
+against pure-Python oracles in tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from unraveldocs_spark.entry_queries import ENTRY_REGISTRY  # noqa: E402
+from unraveldocs_spark.queries import REGISTRY  # noqa: E402
+from unraveldocs_spark.trainingdata import TRAINING_REGISTRY  # noqa: E402
+
+_ALL = {**REGISTRY, **TRAINING_REGISTRY, **ENTRY_REGISTRY}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the extraction pipeline end-to-end on sf0.001 —
+    derived transcripts -> salted repartition -> sortWithinPartitions ->
+    Arrow-batched mapInPandas extraction."""
+    from unraveldocs_spark.entry_queries import q_extract_turns
+
+    return q_extract_turns(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec["builder"] for name, spec in _ALL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec["sql"] for name, spec in _ALL.items() if spec.get("sql") is not None
+    }

@@ -1,0 +1,682 @@
+"""Operator inventory (SURVEY.md §2) as (Spark builder, DuckDB oracle SQL)
+pairs, plus the training-data operators (dedup / similarity / text
+analysis) over the driver-provided tables.
+
+Every entry in ``REGISTRY`` maps a query name to:
+- ``builder(spark, sf_dir) -> DataFrame`` — the Spark-first implementation;
+- ``sql`` — an equivalent ANSI-SQL string for DuckDB over the same parquet
+  views, or ``None`` for genuinely non-SQL-expressible operators (those are
+  verified against pure-Python oracles in pytest instead).
+
+Parity rules used throughout (the driver hash-compares values):
+- money aggregates go through DECIMAL(18,2) so sums are exact and
+  order-independent on both engines;
+- ratio outputs are scaled to integers (ROUND(x * 10^k) AS BIGINT) instead
+  of emitting floats;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing-summary scan+agg (the admin-stats style GROUP BY of
+# DocumentCollectionRepository.java:24-37, at lineitem scale)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """groupBy two low-cardinality keys; partial aggregation map-side, one
+    shuffle; money sums exact via DECIMAL(18,2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Upload validation + outcome rollup
+# (DocumentUploadImpl.java:84-144, FileType.java:6-35, FileSize.java:7-19)
+# ---------------------------------------------------------------------------
+
+_LANG_ALLOWLIST = ("en", "es", "de", "fr")  # MIME-allowlist analog
+_SIZE_CAP = 260  # byte-cap analog against n_chars
+
+
+def q_upload_validation(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    status = (
+        F.when(~F.col("lang").isin(*_LANG_ALLOWLIST), F.lit("FAILED_VALIDATION"))
+        .when(F.col("n_chars") > _SIZE_CAP, F.lit("FAILED_SIZE"))
+        .otherwise(F.lit("UPLOADED"))
+    )
+    per_file = docs.select(F.col("source"), status.alias("upload_status"))
+    return (
+        per_file.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_files"),
+            F.sum(F.when(F.col("upload_status") == "UPLOADED", 1).otherwise(0)).alias("uploaded"),
+        )
+        .withColumn(
+            "collection_status",
+            F.when(F.col("uploaded") == F.col("total_files"), F.lit("COMPLETED"))
+            .when(F.col("uploaded") > 0, F.lit("PARTIALLY_COMPLETED"))
+            .otherwise(F.lit("FAILED_UPLOAD")),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_UPLOAD_VALIDATION = f"""
+WITH per_file AS (
+  SELECT source,
+         CASE WHEN lang NOT IN {repr(tuple(_LANG_ALLOWLIST))}
+              THEN 'FAILED_VALIDATION'
+              WHEN n_chars > {_SIZE_CAP} THEN 'FAILED_SIZE'
+              ELSE 'UPLOADED' END AS upload_status
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS total_files,
+       CAST(SUM(CASE WHEN upload_status = 'UPLOADED' THEN 1 ELSE 0 END) AS BIGINT) AS uploaded,
+       CASE WHEN SUM(CASE WHEN upload_status = 'UPLOADED' THEN 1 ELSE 0 END) = COUNT(*)
+            THEN 'COMPLETED'
+            WHEN SUM(CASE WHEN upload_status = 'UPLOADED' THEN 1 ELSE 0 END) > 0
+            THEN 'PARTIALLY_COMPLETED'
+            ELSE 'FAILED_UPLOAD' END AS collection_status
+FROM per_file GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Collection status ladder (ProcessOcr.java:185-217) over a derived status
+# ---------------------------------------------------------------------------
+
+def q_collection_rollup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    status = (
+        F.when(F.col("doc_id") % 10 < 7, F.lit("COMPLETED"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("FAILED"))
+        .otherwise(F.lit("PENDING"))
+    )
+    per_doc = docs.select(F.col("source").alias("conv_id"), status.alias("status"))
+    agg = per_doc.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("status") == "COMPLETED", 1).otherwise(0)).alias("completed"),
+        F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0)).alias("failed"),
+    )
+    return agg.select(
+        "conv_id",
+        "total",
+        "completed",
+        "failed",
+        F.when(F.col("completed") == F.col("total"), F.lit("PROCESSED"))
+        .when(F.col("completed") + F.col("failed") == F.col("total"), F.lit("FAILED_OCR"))
+        .otherwise(F.lit("PROCESSING"))
+        .alias("collection_status"),
+    ).orderBy("conv_id")
+
+
+SQL_COLLECTION_ROLLUP = """
+WITH per_doc AS (
+  SELECT source AS conv_id,
+         CASE WHEN doc_id % 10 < 7 THEN 'COMPLETED'
+              WHEN doc_id % 10 < 9 THEN 'FAILED'
+              ELSE 'PENDING' END AS status
+  FROM documents
+), agg AS (
+  SELECT conv_id, COUNT(*) AS total,
+         CAST(SUM(CASE WHEN status='COMPLETED' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+         CAST(SUM(CASE WHEN status='FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS failed
+  FROM per_doc GROUP BY conv_id
+)
+SELECT conv_id, total, completed, failed,
+       CASE WHEN completed = total THEN 'PROCESSED'
+            WHEN completed + failed = total THEN 'FAILED_OCR'
+            ELSE 'PROCESSING' END AS collection_status
+FROM agg ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins: anti (resume), semi (EXISTS), left+coalesce default, IN-list
+# (SURVEY.md §2.3; CustomUserRepositoryImpl.java:38-44,
+#  GetCollectionResultImpl.java:39-55, OcrDataRepository.java:14)
+# ---------------------------------------------------------------------------
+
+def q_anti_join_resume(spark, sf_dir):
+    """Orders with no lineitems — the left-anti resume primitive
+    (ExtractTextFromDocumentImpl.java:50-54: skip keys already done)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_ANTI_JOIN_RESUME = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_semi_join_exists(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_SEMI_JOIN_EXISTS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_left_join_pending_default(spark, sf_dir):
+    """orders left-join per-order line counts; missing side defaults to
+    PENDING (GetCollectionResultImpl.java:46-52 coalesce-to-PENDING)."""
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.when(F.col("n_lines").isNull(), F.lit("PENDING"))
+            .otherwise(F.lit("COMPLETED"))
+            .alias("line_status"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_LEFT_JOIN_PENDING_DEFAULT = """
+SELECT o_orderkey,
+       COALESCE(n_lines, 0) AS n_lines,
+       CASE WHEN n_lines IS NULL THEN 'PENDING' ELSE 'COMPLETED' END AS line_status
+FROM orders
+LEFT JOIN (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey) li
+  ON o_orderkey = li.l_orderkey
+ORDER BY o_orderkey
+"""
+
+
+def q_in_list_lookup(spark, sf_dir):
+    """documentId IN (:ids) batch lookup (OcrDataRepository.java:14) —
+    broadcastable isin over a small key list."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    keys = [
+        r.n_nationkey for r in n.filter(F.col("n_nationkey") % 5 == 0).collect()
+    ]
+    return (
+        c.filter(F.col("c_nationkey").isin(keys))
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_IN_LIST_LOOKUP = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0)
+ORDER BY c_custkey
+"""
+
+
+def q_broadcast_star_join(spark, sf_dir):
+    """customer ⋈ nation ⋈ region with explicit broadcast of the dims —
+    the plan a 100TB fact scan wants (small sides broadcast, no shuffle
+    of the fact table)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_BROADCAST_STAR_JOIN = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filters / search / sort / pagination (SURVEY.md §2.2, §2.7)
+# ---------------------------------------------------------------------------
+
+def q_search_filter(spark, sf_dir):
+    """3-way lower-contains OR search (CustomUserRepositoryImpl.java:47-51
+    / DocumentSearchRepository.java:51-66)."""
+    d = _t(spark, sf_dir, "documents")
+    q = "merge"
+    cond = (
+        F.lower(F.col("text")).contains(q)
+        | F.lower(F.col("source")).contains(q)
+        | F.lower(F.col("lang")).contains(q)
+    )
+    return d.filter(cond).select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+SQL_SEARCH_FILTER = """
+SELECT doc_id, source, lang FROM documents
+WHERE lower(text) LIKE '%merge%' OR lower(source) LIKE '%merge%' OR lower(lang) LIKE '%merge%'
+ORDER BY doc_id
+"""
+
+
+def q_topn_recent(spark, sf_dir):
+    """newest-first + page size (DocumentSearchService.java:174-186) with a
+    unique tiebreak so the top-N set is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .limit(10)
+    )
+
+
+SQL_TOPN_RECENT = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10
+"""
+
+
+def q_paginate_offset(spark, sf_dir):
+    """offset/limit pagination via row_number (CustomUserRepositoryImpl
+    .java:115-120) — page 2, size 10, ordered by a unique key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
+        .select("o_orderkey", "rn")
+    )
+
+
+SQL_PAGINATE_OFFSET = """
+SELECT o_orderkey, CAST(rn AS INT) AS rn FROM (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn > 10 AND rn <= 20
+"""
+
+
+def q_time_window_counts(spark, sf_dir):
+    """counts by status after a time boundary
+    (DashboardMetricsCacheService.java:40-58) — single-pass conditional agg."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = "2024-06-01"
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("ts") >= F.lit(cutoff).cast("timestamp"), 1).otherwise(0)).alias(
+                "recent"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TIME_WINDOW_COUNTS = """
+SELECT event_type, COUNT(*) AS total,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-06-01' THEN 1 ELSE 0 END) AS BIGINT) AS recent
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_distinct_count(spark, sf_dir):
+    """COUNT(DISTINCT ...) pagination totals (CustomUserRepositoryImpl.java:24)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_group_stats(spark, sf_dir):
+    """GROUP BY fileType count/sum (DocumentCollectionRepository.java:24-37)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_GROUP_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_union_shards(spark, sf_dir):
+    """unionByName checkpoint-shard stitch (SURVEY.md §2.8)."""
+    d = _t(spark, sf_dir, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        even.unionByName(odd)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+SQL_UNION_SHARDS = """
+SELECT lang, COUNT(*) AS n_docs FROM (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT * FROM documents WHERE doc_id % 2 = 1
+) GROUP BY lang ORDER BY lang
+"""
+
+
+def q_pdf_extension_predicate(spark, sf_dir):
+    """strip query string, lowercase, endswith '.pdf'
+    (ExtractImageURL.java:78-85) over a deterministically derived URL."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".pdf?sig=abc"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".PDF"))
+        .otherwise(F.lit(".png")),
+    )
+    with_url = d.select("doc_id", url.alias("file_url"))
+    is_pdf = F.lower(F.regexp_replace(F.col("file_url"), r"\?.*$", "")).endswith(".pdf")
+    return with_url.filter(is_pdf).select("doc_id", "file_url").orderBy("doc_id")
+
+
+SQL_PDF_EXTENSION_PREDICATE = """
+WITH with_url AS (
+  SELECT doc_id,
+         'https://cdn/' || source || '/' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '.pdf?sig=abc'
+              WHEN doc_id % 3 = 1 THEN '.PDF' ELSE '.png' END AS file_url
+  FROM documents
+)
+SELECT doc_id, file_url FROM with_url
+WHERE lower(regexp_replace(file_url, '\\?.*$', '')) LIKE '%.pdf'
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# String transforms (SURVEY.md §2.5) — all pure built-ins, whole-stage codegen
+# ---------------------------------------------------------------------------
+
+def q_text_preview(spark, sf_dir):
+    """text[:200] + '...' (DocumentSearchService.java:188-194)."""
+    d = _t(spark, sf_dir, "documents")
+    preview = F.when(
+        F.length("text") > 200, F.concat(F.substring("text", 1, 200), F.lit("..."))
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", preview.alias("preview")).orderBy("doc_id")
+
+
+SQL_TEXT_PREVIEW = """
+SELECT doc_id,
+       CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...' ELSE text END AS preview
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_tag_split(spark, sf_dir):
+    """split(',') -> trim -> drop empties (GetOcrDataImpl.java:65-71) via
+    higher-order functions."""
+    d = _t(spark, sf_dir, "documents")
+    tags_raw = F.concat(F.lit(" "), F.col("lang"), F.lit(" , "), F.col("source"), F.lit(" ,, misc ,"))
+    tags = F.filter(
+        F.transform(F.split(tags_raw, ","), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return d.select("doc_id", tags.alias("tags")).orderBy("doc_id")
+
+
+SQL_TAG_SPLIT = """
+SELECT doc_id,
+       list_filter(list_transform(string_split(' ' || lang || ' , ' || source || ' ,, misc ,', ','),
+                                  x -> trim(x)),
+                   x -> x <> '') AS tags
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_fence_strip(spark, sf_dir):
+    """markdown fence strip (AiClassificationService.java:155-159) as
+    pure regexp built-ins over a deterministically fenced payload."""
+    d = _t(spark, sf_dir, "documents")
+    fenced = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("```json\n"), F.col("text"), F.lit("\n```")),
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(F.lit("```\n"), F.col("text"), F.lit("\n```")),
+    ).otherwise(F.col("text"))
+    src = d.select("doc_id", fenced.alias("fenced"))
+    stripped = F.when(
+        F.col("fenced").startswith("```"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("fenced"), r"^```(json)?\s*", ""), r"\s*```$", ""
+        ),
+    ).otherwise(F.col("fenced"))
+    return src.select("doc_id", stripped.alias("content")).orderBy("doc_id")
+
+
+SQL_FENCE_STRIP = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '```json' || chr(10) || text || chr(10) || '```'
+              WHEN doc_id % 3 = 1 THEN '```' || chr(10) || text || chr(10) || '```'
+              ELSE text END AS fenced
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN fenced LIKE '```%'
+            THEN regexp_replace(regexp_replace(fenced, '^```(json)?\\s*', ''), '\\s*```$', '')
+            ELSE fenced END AS content
+FROM src ORDER BY doc_id
+"""
+
+
+def q_truncate_text(spark, sf_dir):
+    """AI input truncation text[:N] (AiClassificationService.java:191-198),
+    N scaled down to the synthetic doc sizes."""
+    d = _t(spark, sf_dir, "documents")
+    cap = 120
+    return d.select(
+        "doc_id",
+        F.when(F.length("text") > cap, F.substring("text", 1, cap))
+        .otherwise(F.col("text"))
+        .alias("truncated"),
+        (F.length("text") > cap).alias("was_truncated"),
+    ).orderBy("doc_id")
+
+
+SQL_TRUNCATE_TEXT = """
+SELECT doc_id,
+       CASE WHEN length(text) > 120 THEN substr(text, 1, 120) ELSE text END AS truncated,
+       length(text) > 120 AS was_truncated
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_word_char_counts(spark, sf_dir):
+    """getCharacterCount/getWordCount (OcrResult.java:76-88)."""
+    d = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .alias("n_words"),
+    ).orderBy("doc_id")
+
+
+SQL_WORD_CHAR_COUNTS = """
+SELECT doc_id, length(text) AS n_chars_text,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_error_type_sanitize(spark, sf_dir):
+    """metric-tag sanitizer (OcrMetrics.java:162-170)."""
+    e = _t(spark, sf_dir, "events")
+    sanitized = F.substring(
+        F.regexp_replace(F.lower(F.col("props")), "[^a-z0-9_]", "_"), 1, 50
+    )
+    return (
+        e.select("event_id", sanitized.alias("error_type"))
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+SQL_ERROR_TYPE_SANITIZE = """
+SELECT event_id, substr(regexp_replace(lower(props), '[^a-z0-9_]', '_', 'g'), 1, 50) AS error_type
+FROM events ORDER BY event_id LIMIT 500
+"""
+
+
+def q_log_sanitize(spark, sf_dir):
+    """CR/LF strip (SanitizeLogging.java)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.regexp_replace("text", "[\r\n]", "").alias("log_safe")
+    ).orderBy("doc_id")
+
+
+SQL_LOG_SANITIZE = """
+SELECT doc_id, regexp_replace(text, '[\\r\\n]', '', 'g') AS log_safe
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_turn_window(spark, sf_dir):
+    """row_number over (partition, order) — the per-conversation turn
+    check (SURVEY.md §2.8)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        "doc_id", "source", (F.row_number().over(w) - 1).alias("turn_idx")
+    ).orderBy("doc_id")
+
+
+SQL_TURN_WINDOW = """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS turn_idx
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, dict] = {
+    "pricing_summary": {"builder": q_pricing_summary, "sql": SQL_PRICING_SUMMARY},
+    "upload_validation": {"builder": q_upload_validation, "sql": SQL_UPLOAD_VALIDATION},
+    "collection_rollup": {"builder": q_collection_rollup, "sql": SQL_COLLECTION_ROLLUP},
+    "anti_join_resume": {"builder": q_anti_join_resume, "sql": SQL_ANTI_JOIN_RESUME},
+    "semi_join_exists": {"builder": q_semi_join_exists, "sql": SQL_SEMI_JOIN_EXISTS},
+    "left_join_pending_default": {
+        "builder": q_left_join_pending_default,
+        "sql": SQL_LEFT_JOIN_PENDING_DEFAULT,
+    },
+    "in_list_lookup": {"builder": q_in_list_lookup, "sql": SQL_IN_LIST_LOOKUP},
+    "broadcast_star_join": {"builder": q_broadcast_star_join, "sql": SQL_BROADCAST_STAR_JOIN},
+    "search_filter": {"builder": q_search_filter, "sql": SQL_SEARCH_FILTER},
+    "topn_recent": {"builder": q_topn_recent, "sql": SQL_TOPN_RECENT},
+    "paginate_offset": {"builder": q_paginate_offset, "sql": SQL_PAGINATE_OFFSET},
+    "time_window_counts": {"builder": q_time_window_counts, "sql": SQL_TIME_WINDOW_COUNTS},
+    "distinct_count": {"builder": q_distinct_count, "sql": SQL_DISTINCT_COUNT},
+    "group_stats": {"builder": q_group_stats, "sql": SQL_GROUP_STATS},
+    "union_shards": {"builder": q_union_shards, "sql": SQL_UNION_SHARDS},
+    "pdf_extension_predicate": {
+        "builder": q_pdf_extension_predicate,
+        "sql": SQL_PDF_EXTENSION_PREDICATE,
+    },
+    "text_preview": {"builder": q_text_preview, "sql": SQL_TEXT_PREVIEW},
+    "tag_split": {"builder": q_tag_split, "sql": SQL_TAG_SPLIT},
+    "fence_strip": {"builder": q_fence_strip, "sql": SQL_FENCE_STRIP},
+    "truncate_text": {"builder": q_truncate_text, "sql": SQL_TRUNCATE_TEXT},
+    "word_char_counts": {"builder": q_word_char_counts, "sql": SQL_WORD_CHAR_COUNTS},
+    "error_type_sanitize": {"builder": q_error_type_sanitize, "sql": SQL_ERROR_TYPE_SANITIZE},
+    "log_sanitize": {"builder": q_log_sanitize, "sql": SQL_LOG_SANITIZE},
+    "turn_window": {"builder": q_turn_window, "sql": SQL_TURN_WINDOW},
+}

@@ -1,0 +1,108 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k (the correctness baseline; at
+  scale this is one pass over the table with a broadcast query vector —
+  no shuffle until the final top-k fold).
+- ``lsh_topk``: random-hyperplane LSH — deterministic hyperplanes, sign
+  signatures, candidates restricted to buckets within ``probe_hamming``
+  of the query signature.  The scale path: signatures are computed once
+  and stored; queries touch only matching buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .generator import mix64
+
+LSH_BITS = 16
+
+
+def _hyperplanes(dim: int, bits: int = LSH_BITS) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from the repo-wide mix64."""
+    vals = np.array(
+        [
+            (mix64(7000 + i * dim + j) % 2_000_001) / 1_000_000.0 - 1.0
+            for i in range(bits)
+            for j in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    return vals.reshape(bits, dim)
+
+
+def signature_bits(vec: np.ndarray, planes: np.ndarray) -> int:
+    dots = planes @ vec
+    sig = 0
+    for i, d in enumerate(dots):
+        if d > 0:
+            sig |= 1 << i
+    return sig
+
+
+def signature_stage(embeddings: DataFrame, dim: int, bits: int = LSH_BITS) -> DataFrame:
+    """vec_id -> LSH signature (int) + l2 norm, vectorized via numpy."""
+    planes = _hyperplanes(dim, bits)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if len(mat) == 0:
+                yield pd.DataFrame({"vec_id": [], "signature": [], "norm": []})
+                continue
+            dots = mat @ planes.T  # (n, bits)
+            sigs = ((dots > 0).astype(np.int64) << np.arange(planes.shape[0])).sum(axis=1)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "signature": sigs, "norm": norms}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, signature long, norm double"
+    )
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Exact cosine top-k against a broadcast literal query vector —
+    computed JVM-side with higher-order functions (no Python in the scan)."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    def cosine(a, b):
+        av = F.transform(a, lambda x: x.cast("double"))
+        bv = F.transform(b, lambda x: x.cast("double"))
+        dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        na = F.aggregate(av, F.lit(0.0), lambda s, x: s + x * x)
+        nb = F.aggregate(bv, F.lit(0.0), lambda s, x: s + x * x)
+        return dot / (F.sqrt(na) * F.sqrt(nb))
+
+    return (
+        embeddings.select("vec_id", cosine(F.col("embedding"), qlit).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = LSH_BITS,
+    probe_hamming: int = 3,
+) -> DataFrame:
+    """LSH-bucketed ANN: score only vectors whose signature is within
+    ``probe_hamming`` bits of the query signature."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(query_vec), bits)
+    qsig = signature_bits(q, planes)
+
+    sigs = signature_stage(embeddings, dim=len(query_vec), bits=bits)
+    candidates = sigs.filter(
+        F.bit_count(F.col("signature").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    ).select("vec_id")
+    pruned = embeddings.join(candidates, "vec_id", "left_semi")
+    return brute_force_topk(pruned, query_vec, k)

@@ -1,0 +1,532 @@
+"""Training-data pipeline operators: deduplication, similarity search and
+text analysis over the ``documents`` / ``embeddings`` tables.
+
+Scale notes (these run on 100 TB in production):
+- exact dedup is a single hash-groupBy (one shuffle on the digest);
+- MinHash/LSH restricts candidate generation to band-key collisions —
+  the self-join is on (band_idx, band_key), never a cross join;
+- n-gram Jaccard bounds its candidate pairs by (lang, length-bucket)
+  blocking before the pair join;
+- cosine near-dup blocks on ``label`` (the IVF-coarse-quantizer analog);
+- brute-force ANN is the correctness baseline; the LSH-bucketed variant
+  in ``similarity.py`` is the scale path.
+
+FP-parity rules: similarity scores are emitted as integers
+(ROUND(x*10^k) AS BIGINT) and set-overlap measures as exact integer
+numerator/denominator pairs, so the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .generator import mix64
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the content digest
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word-bigram shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+def _spark_shingles(col):
+    """distinct word-bigram shingles of a text column."""
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return F.when(n >= 2, F.array_distinct(bigrams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split({c}, ' '))), "
+    "i -> string_split({c}, ' ')[i] || ' ' || string_split({c}, ' ')[i+1]))"
+)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup with (lang, length-bucket) blocking
+# ---------------------------------------------------------------------------
+
+_JACCARD_NUM = 2  # keep pairs with jaccard >= 2/10
+_JACCARD_DEN = 10
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / F.lit(64)).cast("long").alias("len_bucket"),
+        _spark_shingles(F.col("text")).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("jac_num"),
+            union.alias("jac_den"),
+        )
+        .filter(F.col("jac_num") * _JACCARD_DEN >= F.col("jac_den") * _JACCARD_NUM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS len_bucket,
+         {_DUCK_SHINGLES.format(c="text")} AS sh
+  FROM documents
+), nz AS (SELECT * FROM sh WHERE len(sh) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS INT) AS jac_num,
+       CAST(len(a.sh) + len(b.sh)
+            - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS INT) AS jac_den
+FROM nz a JOIN nz b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * {_JACCARD_DEN}
+      >= (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) * {_JACCARD_NUM}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_MH_P = 1_000_000_007
+_MH_K = 16
+_MH_BANDS = 4
+_MH_ROWS = _MH_K // _MH_BANDS
+# deterministic hash-family coefficients (derived from the repo-wide mix64)
+_MH_A = [1 + mix64(1000 + j) % (_MH_P - 1) for j in range(_MH_K)]
+_MH_B = [mix64(2000 + j) % _MH_P for j in range(_MH_K)]
+
+
+def _spark_shingle_hashes(sh_col):
+    """md5-prefix -> bigint mod P per shingle (engine-neutral hash)."""
+    return F.transform(
+        sh_col,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 14), 16, 10).cast("bigint"),
+            F.lit(_MH_P),
+        ),
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Candidate pairs by LSH band collision, confirmed by exact shingle
+    Jaccard — the standard shingle->minhash->band->bucket-join pipeline.
+    At scale: explode to (band_idx, band_key) rows, shuffle on the band
+    key, join within buckets only."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("hs", _spark_shingle_hashes(F.col("sh")))
+    )
+    def _min_hash(j):
+        # one-arg lambda: pyspark would bind a 2nd arg to the array index
+        a_j, b_j = _MH_A[j], _MH_B[j]
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(F.lit(a_j) * h + F.lit(b_j), F.lit(_MH_P)),
+            )
+        ).alias(f"m{j}")
+
+    mins = [_min_hash(j) for j in range(_MH_K)]
+    sigs = d.select("doc_id", "sh", *mins)
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"m{b * _MH_ROWS + r}").cast("string")
+                                for r in range(_MH_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return cands.select(
+        "doc_a", "doc_b", inter.alias("jac_num"), union.alias("jac_den")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _duck_minhash_sql() -> str:
+    min_exprs = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P})) AS m{j}"
+        for j in range(_MH_K)
+    )
+    band_structs = ", ".join(
+        "{'band_idx': %d, 'band_key': %s}"
+        % (
+            b,
+            " || '-' || ".join(
+                f"CAST(m{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(c="text")} AS sh FROM documents
+), nz AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT % {_MH_P}) AS hs
+  FROM sh WHERE len(sh) > 0
+), sigs AS (
+  SELECT doc_id, sh,
+         {min_exprs}
+  FROM nz
+), bands AS (
+  SELECT doc_id, sh, unnest([{band_structs}], recursive := true)
+  FROM sigs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS INT) AS jac_num,
+       CAST(len(sh_a) + len(sh_b)
+            - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS INT) AS jac_den
+FROM cands ORDER BY doc_a, doc_b
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _duck_minhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup, blocked by label (IVF-coarse analog)
+# ---------------------------------------------------------------------------
+
+def _spark_cosine(a, b):
+    av = F.transform(a, lambda x: x.cast("double"))
+    bv = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate(av, F.lit(0.0), lambda acc, x: acc + x * x)
+    nb = F.aggregate(bv, F.lit(0.0), lambda acc, x: acc + x * x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+_COS_THRESHOLD = 0.35
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _spark_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= _COS_THRESHOLD)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("_cos") * 10000).cast("bigint").alias("cos_e4"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(ROUND(c * 10000) AS BIGINT) AS cos_e4
+FROM pairs WHERE c >= {_COS_THRESHOLD} ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (ANN correctness baseline)
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    cos = _spark_cosine(F.col("embedding"), qlit)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id", F.round(F.col("_cos") * 10000).cast("bigint").alias("cos_e4")
+        )
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+         list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                (SELECT qv FROM q)) AS c
+  FROM embeddings WHERE vec_id <> 0
+)
+SELECT vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cos_e4
+FROM scored ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: stopword ratio, quality score, token count, fingerprint
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "it")
+
+
+def q_lang_stopword_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_words = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        F.round(F.lit(10000.0) * n_stop / n_words).cast("bigint").alias("stop_ratio_e4"),
+    ).orderBy("doc_id")
+
+
+SQL_LANG_STOPWORD_RATIO = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_words,
+       CAST(len(list_filter(toks, x -> list_contains({list(_STOPWORDS)!r}, x))) AS INT) AS n_stopwords,
+       CAST(ROUND(10000.0 * len(list_filter(toks, x -> list_contains({list(_STOPWORDS)!r}, x)))
+                  / len(toks)) AS BIGINT) AS stop_ratio_e4
+FROM t ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Deterministic quality heuristics: mean word length (scaled),
+    punctuation count, unique-word ratio (scaled) — all integer outputs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    mean_wl_e2 = F.round(F.lit(100.0) * F.length(F.concat_ws("", toks)) / n_words).cast("bigint")
+    uniq_e4 = F.round(F.lit(10000.0) * n_unique / n_words).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        mean_wl_e2.alias("mean_word_len_e2"),
+        uniq_e4.alias("unique_ratio_e4"),
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_words,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+       CAST(ROUND(100.0 * length(list_aggregate(toks, 'string_agg', '')) / len(toks)) AS BIGINT)
+         AS mean_word_len_e2,
+       CAST(ROUND(10000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS unique_ratio_e4
+FROM t ORDER BY doc_id
+"""
+
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_count(spark, sf_dir):
+    """BPE-ish regex pre-tokenization count (letters / digits / single
+    punctuation), plus whitespace token count."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0)))
+    return d.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INT) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 131
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial content fingerprint (mod 1e9+7, base 131) — an
+    order-sensitive complement to the md5 exact-dup hash."""
+    d = _t(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda x: x != "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * _FP_BASE + F.ascii(x), F.lit(_FP_MOD)),
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(list_filter(string_split(text, ''), x -> x <> ''),
+                                               x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * {_FP_BASE} + x) % {_FP_MOD}) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload + typed metadata (decode is stubbed in
+# multimodal.py; this query exercises the schema/dispatch path)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("image/jpeg"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        kind.alias("media_type"),
+        F.length(payload).alias("payload_bytes"),
+        (64 + (F.col("doc_id") % 16) * 32).cast("int").alias("fake_width"),
+        (64 + (F.col("doc_id") % 12) * 32).cast("int").alias("fake_height"),
+    ).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+            WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+            WHEN doc_id % 4 = 2 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(strlen(text) AS INT) AS payload_bytes,
+       CAST(64 + (doc_id % 16) * 32 AS INT) AS fake_width,
+       CAST(64 + (doc_id % 12) * 32 AS INT) AS fake_height
+FROM documents ORDER BY doc_id
+"""
+
+
+TRAINING_REGISTRY: dict[str, dict] = {
+    "dedup_exact": {"builder": q_dedup_exact, "sql": SQL_DEDUP_EXACT},
+    "dedup_ngram_jaccard": {
+        "builder": q_dedup_ngram_jaccard,
+        "sql": SQL_DEDUP_NGRAM_JACCARD,
+    },
+    "dedup_minhash_lsh": {"builder": q_dedup_minhash_lsh, "sql": SQL_DEDUP_MINHASH_LSH},
+    "dedup_embedding_cosine": {
+        "builder": q_dedup_embedding_cosine,
+        "sql": SQL_DEDUP_EMBEDDING_COSINE,
+    },
+    "ann_topk": {"builder": q_ann_topk, "sql": SQL_ANN_TOPK},
+    "lang_stopword_ratio": {
+        "builder": q_lang_stopword_ratio,
+        "sql": SQL_LANG_STOPWORD_RATIO,
+    },
+    "quality_score": {"builder": q_quality_score, "sql": SQL_QUALITY_SCORE},
+    "token_count": {"builder": q_token_count, "sql": SQL_TOKEN_COUNT},
+    "doc_fingerprint": {"builder": q_doc_fingerprint, "sql": SQL_DOC_FINGERPRINT},
+    "multimodal_meta": {"builder": q_multimodal_meta, "sql": SQL_MULTIMODAL_META},
+}
