@@ -1,0 +1,180 @@
+"""Tests for the training-data operators: pure-Python oracle checks for
+the non-SQL-expressible ops, plus Spark-vs-pure-Python equality on the
+driver's documents/embeddings tables (sf0.001)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from unraveldocs_spark.similarity import (
+    _hyperplanes,
+    brute_force_topk,
+    lsh_topk,
+    signature_bits,
+)
+from unraveldocs_spark.textanalysis import (
+    hamming64,
+    lang_id,
+    simhash64,
+    simhash_near_dupes,
+    simhash_stage,
+    winnow_fingerprints,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSimhashPure:
+    def test_deterministic(self):
+        t = "the quick brown fox jumps over the lazy dog"
+        assert simhash64(t) == simhash64(t)
+
+    def test_similar_texts_low_hamming(self):
+        a = " ".join(f"word{i}" for i in range(100))
+        b = a.replace("word50", "changed")
+        assert hamming64(simhash64(a), simhash64(b)) <= 12
+
+    def test_dissimilar_texts_high_hamming(self):
+        a = " ".join(f"alpha{i}" for i in range(100))
+        b = " ".join(f"beta{i}" for i in range(100))
+        assert hamming64(simhash64(a), simhash64(b)) >= 16
+
+    def test_empty(self):
+        assert simhash64("") == 0
+
+
+class TestSimhashSpark:
+    def test_stage_matches_pure(self, spark):
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+        texts = {r.doc_id: r.text for r in d.collect()}
+        for row in simhash_stage(d).collect():
+            h = simhash64(texts[row.doc_id])
+            signed = h - (1 << 64) if h >= (1 << 63) else h
+            assert row.simhash == signed
+            assert row.band0 == (h >> 48) & 0xFFFF
+            assert row.band3 == h & 0xFFFF
+
+    def test_near_dupes_hamming_correct(self, spark):
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+        texts = {r.doc_id: r.text for r in d.collect()}
+        got = simhash_near_dupes(d, max_hamming=20).collect()
+        assert got, "expected some candidate pairs on word-soup docs"
+        for row in got:
+            expect = hamming64(simhash64(texts[row.doc_a]), simhash64(texts[row.doc_b]))
+            assert row.hamming == expect
+            assert row.hamming <= 20
+
+
+class TestLangId:
+    def test_english(self):
+        assert lang_id("the cat and the dog sat on the mat of the king") == "en"
+
+    def test_german(self):
+        assert lang_id("der hund und die katze sind schnell und schoen ich") == "de"
+
+    def test_chinese(self):
+        assert lang_id("我是中国人我在这里他有大的") == "zh"
+
+    def test_empty(self):
+        assert lang_id("") == "und"
+        assert lang_id("zzz qqq xxx") == "und"
+
+
+class TestWinnowing:
+    def test_deterministic(self):
+        t = "some document content for fingerprinting purposes"
+        assert winnow_fingerprints(t) == winnow_fingerprints(t)
+
+    def test_short_text_empty(self):
+        assert winnow_fingerprints("abc") == []
+
+    def test_shared_content_shares_fingerprints(self):
+        base = "identical shared middle section of reasonable length here"
+        a = "prefix one " + base + " suffix alpha"
+        b = "other start " + base + " different end"
+        fa, fb = set(winnow_fingerprints(a)), set(winnow_fingerprints(b))
+        assert fa & fb, "overlapping docs must share fingerprints"
+
+    def test_disjoint_content_disjoint_fingerprints(self):
+        fa = set(winnow_fingerprints("aaaa bbbb cccc dddd eeee"))
+        fb = set(winnow_fingerprints("zzzz yyyy xxxx wwww vvvv"))
+        assert not (fa & fb)
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    @pytest.fixture(scope="class")
+    def qvec(self, emb):
+        return [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+
+    def test_brute_force_matches_numpy(self, emb, qvec):
+        rows = emb.filter(F.col("vec_id") != 0).collect()
+        q = np.asarray(qvec)
+        cos = {
+            r.vec_id: float(
+                np.dot(r.embedding, q)
+                / (np.linalg.norm(np.asarray(r.embedding, dtype=np.float64)) * np.linalg.norm(q))
+            )
+            for r in rows
+        }
+        expect = sorted(cos, key=lambda v: (-cos[v], v))[:10]
+        got = [r.vec_id for r in brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, 10).collect()]
+        assert got == expect
+
+    def test_lsh_recall(self, emb, qvec):
+        exact = {
+            r.vec_id
+            for r in brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, 10).collect()
+        }
+        approx = {
+            r.vec_id
+            for r in lsh_topk(
+                emb.filter(F.col("vec_id") != 0), qvec, 10, probe_hamming=6
+            ).collect()
+        }
+        recall = len(exact & approx) / 10
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_signature_deterministic(self, qvec):
+        planes = _hyperplanes(len(qvec))
+        s1 = signature_bits(np.asarray(qvec), planes)
+        s2 = signature_bits(np.asarray(qvec), planes)
+        assert s1 == s2 and 0 <= s1 < (1 << 16)
+
+
+class TestMultimodal:
+    def test_decode_stage(self, spark):
+        from unraveldocs_spark.multimodal import attach_binary_payload, decode_stage
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+        out = decode_stage(attach_binary_payload(d)).collect()
+        assert len(out) == 40
+        assert all(r.decode_status == "COMPLETED" for r in out)
+        assert all(r.payload_bytes > 0 for r in out)
+        assert all(r.width >= 64 and r.height >= 64 for r in out)
+        # deterministic: second run identical
+        out2 = decode_stage(attach_binary_payload(d)).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    def test_real_decode_stub_fails_rows(self, spark):
+        from unraveldocs_spark.multimodal import attach_binary_payload, decode_stage
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(8)
+        out = decode_stage(attach_binary_payload(d), require_real_decode=True).collect()
+        assert all(r.decode_status == "FAILED" for r in out)
+
+    def test_frame_sampling(self, spark):
+        from unraveldocs_spark.multimodal import (
+            attach_binary_payload,
+            decode_stage,
+            frame_sample_stage,
+        )
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+        decoded = decode_stage(attach_binary_payload(d))
+        frames = frame_sample_stage(decoded, every_n=30).collect()
+        assert frames
+        assert all(r.frame_no % 30 == 0 for r in frames)

@@ -187,10 +187,10 @@ def winnow_fingerprints(text: str, k: int = _WIN_K, w: int = _WIN_W) -> list[int
     power = pow(_WIN_BASE, k - 1, _WIN_MOD)
     for i, ch in enumerate(text):
         h = (h * _WIN_BASE + ord(ch)) % _WIN_MOD
-        if i >= k:
-            h = (h - ord(text[i - k]) * power) % _WIN_MOD
         if i >= k - 1:
             hashes.append(h)
+            # strip the leading char (weight B^(k-1)) for the next k-gram
+            h = (h - ord(text[i - k + 1]) * power) % _WIN_MOD
     out: list[int] = []
     last = -1
     for s in range(len(hashes) - w + 1):
