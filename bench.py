@@ -1,0 +1,140 @@
+"""Benchmark harness.
+
+Runs the headline extraction pipeline on a cached synthetic transcripts
+table scaled to $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) plus the
+headline operator queries, on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON
+line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...,
+   "parallelism": N}
+
+Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors) is
+produced by tools/bench_scaling.py, which runs this harness at two
+parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+# small sf files: split scans finer so they fan out across local cores
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m")
+
+# transcripts scale: proportional to the sf of the testdata dir
+# (sf0.1 -> 5000 convs x median 100 turns ~= 500k turns + 10x-median hot conv;
+#  FIXTURES.md §5 sf-bench)
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_of(SF_DIR)
+N_CONVS = max(50, int(5000 * SF / 0.1))
+MEDIAN_TURNS = 100
+HOT_FACTOR = 10
+
+HEADLINE_QUERIES = (
+    "pricing_summary",
+    "broadcast_star_join",
+    "left_join_pending_default",
+    "search_filter",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_topk",
+    "quality_score",
+    "token_count",
+    "extract_turns",
+)
+
+
+def _transcripts_cache(spark):
+    cache = os.path.join(REPO, ".bench_cache", f"transcripts-sf{SF}")
+    marker = os.path.join(cache, "_SUCCESS")
+    if not os.path.exists(marker):
+        from unraveldocs_spark.generator import transcripts_spark
+
+        df = transcripts_spark(
+            spark,
+            N_CONVS,
+            median_turns=MEDIAN_TURNS,
+            hot_factor=HOT_FACTOR,
+            include_oversize=False,
+            parallelism=CPUS * 2,
+        )
+        df.write.mode("overwrite").parquet(cache)
+    return cache
+
+
+def main():
+    from unraveldocs_spark.extract import extract_stage
+    from unraveldocs_spark.pipeline import salted_repartition
+    from unraveldocs_spark.session import build_session
+
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(
+        "unraveldocs-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cache = _transcripts_cache(spark)
+    transcripts = spark.read.parquet(cache)
+    n_turns = transcripts.count()
+
+    # warm the JVM + python workers once (excluded from timings)
+    extract_stage(transcripts.limit(2000)).count()
+
+    t0 = time.monotonic()
+    extracted = extract_stage(salted_repartition(transcripts, CPUS * 2))
+    n_out = extracted.count()
+    extract_sec = time.monotonic() - t0
+    assert n_out == n_turns, (n_out, n_turns)
+
+    print(f"[bench] extract {n_turns} turns: {extract_sec:.1f}s", file=sys.stderr)
+
+    qfns = entry_mod.queries()
+    per_query: dict[str, float] = {"extract_transcripts": round(extract_sec, 3)}
+    total = extract_sec
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        qfns[name](spark, SF_DIR).collect()
+        sec = time.monotonic() - t0
+        per_query[name] = round(sec, 3)
+        total += sec
+        print(f"[bench] {name}: {sec:.1f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+operator suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": SF,
+                "n_turns": n_turns,
+                "turns_per_sec": round(n_turns / extract_sec, 1),
+                "parallelism": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

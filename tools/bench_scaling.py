@@ -1,0 +1,90 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 throughput scaling from
+N to 4N executors).  Runs bench.py at local[N] and local[4N] on the SAME
+cached input and writes BENCH/BASELINE.md with both throughputs and the
+efficiency ratio.
+
+    python tools/bench_scaling.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    print(f"running bench at local[{n}] ...", file=sys.stderr)
+    r_n = run_bench(n, sf_dir)
+    print(f"running bench at local[{4 * n}] ...", file=sys.stderr)
+    r_4n = run_bench(4 * n, sf_dir)
+
+    tput_n = r_n["turns_per_sec"]
+    tput_4n = r_4n["turns_per_sec"]
+    eff = tput_4n / (4 * tput_n)
+
+    md = f"""# BENCH/BASELINE — measured throughput & scaling efficiency
+
+Input: cached deterministic synthetic transcripts, {r_n["n_turns"]:,} turns
+(sf={r_n["sf"]}, seed=42, hot conversation = 10x median), identical bytes
+for both runs.  Pipeline: read parquet -> salted repartition on
+(conv_id, pmod(hash(turn_idx), 16)) -> sortWithinPartitions(conv_id,
+turn_idx) -> Arrow-batched mapInPandas extraction -> count.
+
+The sandbox has no multi-node cluster; per BASELINE.md the N -> 4N
+executor criterion is evidenced at two local parallelism levels on the
+same input (local[{n}] vs local[{4 * n}], {os.cpu_count()} physical cores).
+
+| parallelism | extract wall (s) | throughput (turns/s) |
+|---|---|---|
+| local[{n}] | {r_n["queries"]["extract_transcripts"]} | {tput_n:,.1f} |
+| local[{4 * n}] | {r_4n["queries"]["extract_transcripts"]} | {tput_4n:,.1f} |
+
+**Scaling efficiency (N -> 4N): `{eff:.3f}`** (target >= 0.8,
+computed as throughput(4N) / (4 x throughput(N))).
+
+## Per-query wall times (seconds)
+
+| query | local[{n}] | local[{4 * n}] |
+|---|---|---|
+"""
+    for name in r_n["queries"]:
+        md += f"| {name} | {r_n['queries'][name]} | {r_4n['queries'].get(name, '-')} |\n"
+    md += f"""
+Suite totals: local[{n}] = {r_n["value"]}s, local[{4 * n}] = {r_4n["value"]}s.
+
+Raw JSON:
+```
+{json.dumps(r_n)}
+{json.dumps(r_4n)}
+```
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+    print(f"efficiency={eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -680,3 +680,144 @@ REGISTRY: dict[str, dict] = {
     "log_sanitize": {"builder": q_log_sanitize, "sql": SQL_LOG_SANITIZE},
     "turn_window": {"builder": q_turn_window, "sql": SQL_TURN_WINDOW},
 }
+
+
+# ---------------------------------------------------------------------------
+# Additional reference operators (SURVEY.md §2.4/§2.5)
+# ---------------------------------------------------------------------------
+
+def q_filename_rewrite(spark, sf_dir):
+    """DOCX filename derivation name[:lastIndexOf('.')] + '.docx'
+    (DownloadOcrServiceImpl.java:71-72) + collection default name
+    'Collection-' + timestamp (DocumentUploadImpl.java:66-69)."""
+    d = _t(spark, sf_dir, "documents")
+    fname = F.concat(
+        F.col("source"), F.lit("-"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".pdf")).otherwise(F.lit(".tar.gz")),
+    )
+    src = d.select("doc_id", fname.alias("original_name"))
+    docx = F.concat(
+        F.regexp_replace(F.col("original_name"), r"\.[^.]*$", ""), F.lit(".docx")
+    )
+    return src.select(
+        "doc_id",
+        "original_name",
+        docx.alias("export_name"),
+        F.concat(F.lit("Collection-"), F.lit("2026-01-01-000000")).alias(
+            "default_collection_name"
+        ),
+    ).orderBy("doc_id")
+
+
+SQL_FILENAME_REWRITE = """
+WITH src AS (
+  SELECT doc_id,
+         source || '-' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '.pdf' ELSE '.tar.gz' END AS original_name
+  FROM documents
+)
+SELECT doc_id, original_name,
+       regexp_replace(original_name, '\\.[^.]*$', '') || '.docx' AS export_name,
+       'Collection-2026-01-01-000000' AS default_collection_name
+FROM src ORDER BY doc_id
+"""
+
+
+def q_classify_parse(spark, sf_dir):
+    """AI classification response parse with per-field defaults
+    (AiClassificationService.java:160-178): document_type -> 'other',
+    confidence -> 0.5, over deterministically constructed JSON payloads."""
+    d = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('{"document_type":"'), F.col("lang"),
+                F.lit('","confidence":0.9}'),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit('{"tags":["a","b"]}'))
+        .otherwise(F.lit("not json"))
+    )
+    src = d.select("doc_id", payload.alias("resp"))
+    parsed = F.from_json(
+        F.col("resp"), "document_type STRING, confidence DOUBLE"
+    )
+    return src.select(
+        "doc_id",
+        F.coalesce(parsed["document_type"], F.lit("other")).alias("document_type"),
+        F.round(F.coalesce(parsed["confidence"], F.lit(0.5)) * 100)
+        .cast("bigint")
+        .alias("confidence_e2"),
+    ).orderBy("doc_id")
+
+
+SQL_CLASSIFY_PARSE = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{"document_type":"' || lang || '","confidence":0.9}'
+              WHEN doc_id % 3 = 1 THEN '{"tags":["a","b"]}'
+              ELSE 'not json' END AS resp
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(CASE WHEN json_valid(resp) THEN json_extract_string(resp, '$.document_type') END,
+                'other') AS document_type,
+       CAST(ROUND(COALESCE(CASE WHEN json_valid(resp)
+                                THEN CAST(json_extract(resp, '$.confidence') AS DOUBLE) END,
+                           0.5) * 100) AS BIGINT) AS confidence_e2
+FROM src ORDER BY doc_id
+"""
+
+
+def q_array_mean_confidence(spark, sf_dir):
+    """mean of an array column — the Vision block-confidence average
+    (GoogleVisionOcrProvider.java:283-295) over the embedding vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mean = F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding")
+    return e.select(
+        "vec_id", F.round(mean * 10000).cast("bigint").alias("mean_e4")
+    ).orderBy("vec_id")
+
+
+SQL_ARRAY_MEAN_CONFIDENCE = """
+SELECT vec_id,
+       CAST(ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+                  / len(embedding) * 10000) AS BIGINT) AS mean_e4
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q_daily_quota(spark, sf_dir):
+    """daily OCR quota counter: groupBy(user, day).count vs tier limit
+    (OcrQuotaService.java:60-87, limits OcrProperties.java:85-116)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        e.groupBy(F.col("user_id"), day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .withColumn("over_free_quota", F.col("n_requests") > 2)
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_DAILY_QUOTA = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_requests,
+       COUNT(*) > 2 AS over_free_quota
+FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d') ORDER BY user_id, day
+"""
+
+
+REGISTRY.update(
+    {
+        "filename_rewrite": {"builder": q_filename_rewrite, "sql": SQL_FILENAME_REWRITE},
+        "classify_parse": {"builder": q_classify_parse, "sql": SQL_CLASSIFY_PARSE},
+        "array_mean_confidence": {
+            "builder": q_array_mean_confidence,
+            "sql": SQL_ARRAY_MEAN_CONFIDENCE,
+        },
+        "daily_quota": {"builder": q_daily_quota, "sql": SQL_DAILY_QUOTA},
+    }
+)

@@ -85,7 +85,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.floor(F.col("n_chars") / F.lit(64)).cast("long").alias("len_bucket"),
+        F.floor(F.col("n_chars") / F.lit(16)).cast("long").alias("len_bucket"),
         _spark_shingles(F.col("text")).alias("sh"),
     ).filter(F.size("sh") > 0)
     a = d.alias("a")
@@ -112,7 +112,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS (
-  SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS len_bucket,
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS len_bucket,
          {_DUCK_SHINGLES.format(c="text")} AS sh
   FROM documents
 ), nz AS (SELECT * FROM sh WHERE len(sh) > 0)
@@ -284,10 +284,30 @@ _COS_THRESHOLD = 0.35
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    # pre-normalize once per row (cheap, before the pair join) so the
+    # per-pair work is a single dot product
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double")
+            / F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("embedding"), lambda y: y.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y * y,
+                )
+            ),
+        ).alias("unit"),
+    )
     a = e.alias("a")
     b = e.alias("b")
-    cos = _spark_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = F.aggregate(
+        F.zip_with(F.col("a.unit"), F.col("b.unit"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(
             b,
@@ -310,12 +330,18 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 SQL_DEDUP_EMBEDDING_COSINE = f"""
-WITH pairs AS (
+WITH dv AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), u AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x / sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum'))) AS unit
+  FROM dv
+), pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+         list_aggregate(list_transform(list_zip(a.unit, b.unit),
+                                       p -> p[1] * p[2]), 'sum') AS c
+  FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, CAST(ROUND(c * 10000) AS BIGINT) AS cos_e4
 FROM pairs WHERE c >= {_COS_THRESHOLD} ORDER BY vec_a, vec_b
