@@ -41,7 +41,11 @@ def _sf_of(path: str) -> float:
 
 
 SF = _sf_of(SF_DIR)
-N_CONVS = max(50, int(5000 * SF / 0.1))
+# SPARK_GRAFT_TURNS_MULT scales the transcripts volume (the scaling-
+# efficiency run uses a larger input so fixed stage overheads don't
+# masquerade as poor scaling at high parallelism)
+TURNS_MULT = int(os.environ.get("SPARK_GRAFT_TURNS_MULT", "1"))
+N_CONVS = max(50, int(5000 * SF / 0.1)) * TURNS_MULT
 MEDIAN_TURNS = 100
 HOT_FACTOR = 10
 
@@ -62,7 +66,7 @@ HEADLINE_QUERIES = (
 
 
 def _transcripts_cache(spark):
-    cache = os.path.join(REPO, ".bench_cache", f"transcripts-sf{SF}")
+    cache = os.path.join(REPO, ".bench_cache", f"transcripts-sf{SF}-x{TURNS_MULT}")
     marker = os.path.join(cache, "_SUCCESS")
     if not os.path.exists(marker):
         from unraveldocs_spark.generator import transcripts_spark
@@ -97,21 +101,27 @@ def main():
     transcripts = spark.read.parquet(cache)
     n_turns = transcripts.count()
 
-    # warm the JVM + python workers once (excluded from timings)
-    extract_stage(transcripts.limit(2000)).count()
+    # deep warmup: spin every python worker + compile codegen (untimed)
+    extract_stage(transcripts.limit(CPUS * 64).repartition(CPUS * 2)).count()
 
-    t0 = time.monotonic()
-    extracted = extract_stage(salted_repartition(transcripts, CPUS * 2))
-    n_out = extracted.count()
-    extract_sec = time.monotonic() - t0
-    assert n_out == n_turns, (n_out, n_turns)
+    # best-of-2: local microbenches are noisy (GC, page cache, turbo)
+    extract_sec = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        extracted = extract_stage(salted_repartition(transcripts, CPUS * 2))
+        n_out = extracted.count()
+        extract_sec = min(extract_sec, time.monotonic() - t0)
+        assert n_out == n_turns, (n_out, n_turns)
 
     print(f"[bench] extract {n_turns} turns: {extract_sec:.1f}s", file=sys.stderr)
 
     qfns = entry_mod.queries()
     per_query: dict[str, float] = {"extract_transcripts": round(extract_sec, 3)}
     total = extract_sec
-    for name in HEADLINE_QUERIES:
+    headline = (
+        () if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") else HEADLINE_QUERIES
+    )
+    for name in headline:
         t0 = time.monotonic()
         qfns[name](spark, SF_DIR).collect()
         sec = time.monotonic() - t0

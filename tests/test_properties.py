@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the pure-Python semantics layer —
+invariants that must hold for ANY payload, not just the fixture families."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unraveldocs_spark import semantics as S
+from unraveldocs_spark.domwalk import join_blocks, plain_blocks
+from unraveldocs_spark.oracle import extract_turn
+from unraveldocs_spark.sanitizer import clean_html
+
+text_st = st.text(alphabet=string.printable, max_size=300)
+page_st = st.one_of(st.none(), st.text(alphabet=string.printable + " ", max_size=80))
+pages_st = st.lists(page_st, min_size=1, max_size=6)
+
+
+class TestAssemblyProperties:
+    @given(pages_st)
+    @settings(max_examples=150)
+    def test_direct_no_leading_or_trailing_separator(self, pages):
+        out = S.assemble_direct_text(pages, list(range(len(pages))))
+        assert not out.startswith("\n--- Page ")
+        assert not out.endswith(" ---\n")
+
+    @given(pages_st)
+    @settings(max_examples=150)
+    def test_direct_contributors_are_stripped(self, pages):
+        out = S.assemble_direct_text(pages, list(range(len(pages))))
+        if out:
+            assert out == out.strip()
+
+    @given(pages_st)
+    @settings(max_examples=150)
+    def test_blank_only_pages_give_empty(self, pages):
+        blanks = [p if p is None or p.strip() == "" else "  " for p in pages]
+        assert S.assemble_direct_text(blanks, list(range(len(blanks)))) == ""
+
+    @given(pages_st)
+    @settings(max_examples=150)
+    def test_ocr_and_direct_agree_on_nonblank_pages(self, pages):
+        """When every page is non-blank, both assembly paths agree."""
+        nonblank = [(p or "") + "x" for p in pages]
+        idx = list(range(len(nonblank)))
+        assert S.assemble_direct_text(nonblank, idx) == S.assemble_ocr_text(nonblank, idx)
+
+    @given(st.integers(1, 10), st.integers(1, 10), st.integers(1, 12))
+    def test_range_selection_within_bounds(self, start, end, total):
+        if start <= end <= total:
+            pages = S.effective_pages(start, end, None, total)
+            assert pages == list(range(start - 1, end))
+            assert all(0 <= p < total for p in pages)
+
+    @given(st.lists(st.integers(1, 12), min_size=1, max_size=8), st.integers(12, 20))
+    def test_discrete_selection_sorted_unique(self, picks, total):
+        pages = S.effective_pages(None, None, picks, total)
+        assert pages == sorted(set(pages))
+        assert all(0 <= p < total for p in pages)
+
+
+class TestSanitizerProperties:
+    @given(text_st)
+    @settings(max_examples=150)
+    def test_never_emits_script(self, raw):
+        out = clean_html(raw)
+        assert "<script" not in out.lower()
+        assert "onclick=" not in out.lower()
+
+    @given(text_st)
+    @settings(max_examples=100)
+    def test_idempotent(self, raw):
+        once = clean_html(raw)
+        assert clean_html(once) == once
+
+    @given(st.text(alphabet=string.ascii_letters + " .,", max_size=120))
+    def test_plain_text_content_preserved(self, raw):
+        # tagless input survives modulo entity escaping
+        out = clean_html(raw)
+        from html import unescape
+
+        assert unescape(out) == raw
+
+
+class TestDomwalkProperties:
+    @given(text_st)
+    @settings(max_examples=150)
+    def test_plain_blocks_roundtrip(self, raw):
+        """plain path is exactly CRLF->LF normalization."""
+        text, spans = join_blocks(plain_blocks(raw))
+        assert text == raw.replace("\r\n", "\n")
+
+    @given(text_st)
+    @settings(max_examples=150)
+    def test_spans_are_valid_offsets(self, raw):
+        text, spans = join_blocks(plain_blocks(raw))
+        for start, end, kind in spans:
+            assert 0 <= start <= end <= len(text)
+
+
+class TestOracleProperties:
+    @given(
+        st.sampled_from(["user", "assistant", "tool"]),
+        st.one_of(st.none(), st.sampled_from(["bash", "search"])),
+        st.one_of(st.none(), text_st),
+    )
+    @settings(max_examples=200)
+    def test_total_function_no_exceptions(self, role, tool, text):
+        """Any (role, tool, text) produces a well-formed row, never raises
+        (the row-level error policy, ProcessOcr.java:129-139)."""
+        r = extract_turn(role, tool, text)
+        assert r.status in ("COMPLETED", "FAILED")
+        if r.status == "FAILED":
+            assert r.error_message and r.extracted_text is None
+        else:
+            assert r.extracted_text is not None
+            for s, e, _ in r.spans:
+                assert 0 <= s <= e <= len(r.extracted_text)
+
+    @given(st.one_of(st.none(), text_st))
+    @settings(max_examples=200)
+    def test_deterministic(self, text):
+        a = extract_turn("user", None, text)
+        b = extract_turn("user", None, text)
+        assert (a.extracted_text, a.status, a.spans) == (
+            b.extracted_text,
+            b.status,
+            b.spans,
+        )
+
+
+class TestRollupProperties:
+    @given(st.integers(0, 50), st.integers(0, 50), st.integers(0, 50))
+    def test_ladder_total(self, completed, failed, pending):
+        total = completed + failed + pending
+        status = S.rollup_status(total, completed, failed)
+        if total == 0 or completed == total:
+            assert status == "PROCESSED"
+        elif pending == 0:
+            assert status == "FAILED_OCR"
+        else:
+            assert status == "PROCESSING"
