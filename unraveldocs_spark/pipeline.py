@@ -120,8 +120,9 @@ def run_extraction(
         extractions = extractions.persist()
         n = extractions.count()
         wall_ms = int((time.monotonic() - t0) * 1000)
-        lineage = partition_lineage(extractions, run_id, wall_ms)
-        snapshot_id = store.append(extractions, lineage, run_id=run_id)
+        if n > 0:
+            lineage = partition_lineage(extractions, run_id, wall_ms)
+            snapshot_id = store.append(extractions, lineage, run_id=run_id)
         extractions.unpersist()
         result_df = store.results(spark)
     else:
