@@ -141,7 +141,11 @@ def _process_element(el: Element, blocks: list[tuple[str, str]]) -> None:
 
 def html_blocks(html: str) -> list[tuple[str, str]]:
     """parseHtmlToDocx (lines 46-53): walk direct children of the body."""
-    body = parse_body_fragment(html)
+    return html_blocks_from_body(parse_body_fragment(html))
+
+
+def html_blocks_from_body(body: Element) -> list[tuple[str, str]]:
+    """Walk an already-parsed (e.g. already-sanitized) body element."""
     blocks: list[tuple[str, str]] = []
     for el in body.child_elements():
         _process_element(el, blocks)

@@ -155,7 +155,13 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
-            self.stack[-1].append(TextNode(data))
+            # merge adjacent text (jsoup produces one TextNode per run;
+            # html.parser may call handle_data multiple times per run)
+            top = self.stack[-1]
+            if top.children and isinstance(top.children[-1], TextNode):
+                top.children[-1].whole_text += data
+            else:
+                top.append(TextNode(data))
 
 
 def parse_body_fragment(html: str) -> Element:

@@ -39,8 +39,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from . import semantics as S
-from .domwalk import html_blocks, is_html, join_blocks, plain_blocks
-from .sanitizer import clean_html
+from .domwalk import html_blocks_from_body, is_html, join_blocks, plain_blocks
+from .sanitizer import clean_tree
 
 # rule-hit keys (metrics; analog of OcrMetrics counters, OcrMetrics.java:42-157)
 RULE_ERROR_NO_DATA = "error_no_data"
@@ -109,8 +109,13 @@ def extract_turn(role: str | None, tool: str | None, text: str | None) -> Extrac
         if text is None or text.strip() == "":
             return _failed(S.ERR_NO_DATA, RULE_ERROR_NO_DATA)
 
-        # 2. size cap — FileSize.java:7 / OcrProperties.java:47 (10 MB)
-        if len(text.encode("utf-8", errors="surrogatepass")) > S.SINGLE_FILE_BYTE_CAP:
+        # 2. size cap — FileSize.java:7 / OcrProperties.java:47 (10 MB);
+        #    cheap precheck: UTF-8 is at most 4 bytes/char, so only texts
+        #    longer than CAP/4 chars need the exact byte count
+        if len(text) * 4 > S.SINGLE_FILE_BYTE_CAP and (
+            len(text) > S.SINGLE_FILE_BYTE_CAP
+            or len(text.encode("utf-8", errors="surrogatepass")) > S.SINGLE_FILE_BYTE_CAP
+        ):
             return _failed(S.ERR_OVERSIZED, RULE_ERROR_OVERSIZE)
 
         # 3. tool-output markup — fence strip after 30k truncation
@@ -152,8 +157,9 @@ def extract_turn(role: str | None, tool: str | None, text: str | None) -> Extrac
 
         # 5./6. HTML vs plain text
         if is_html(text):
-            cleaned = clean_html(text)
-            extracted, spans = join_blocks(html_blocks(cleaned))
+            # single parse: safelist-clean the tree, walk it directly
+            # (identical to serializing + re-parsing, minus the round trip)
+            extracted, spans = join_blocks(html_blocks_from_body(clean_tree(text)))
             return ExtractionResult(
                 extracted_text=extracted,
                 spans=spans,

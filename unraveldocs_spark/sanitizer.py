@@ -86,7 +86,13 @@ def _protocol_ok(tag: str, attr: str, value: str) -> bool:
 def _clean_element(src: Element, dest: Element) -> None:
     for child in src.children:
         if isinstance(child, TextNode):
-            dest.append(TextNode(child.whole_text))
+            # merge with a preceding text node (dropping a disallowed tag
+            # between two text runs must splice them, as jsoup's cleaned
+            # document would render them — one normalized run)
+            if dest.children and isinstance(dest.children[-1], TextNode):
+                dest.children[-1].whole_text += child.whole_text
+            else:
+                dest.append(TextNode(child.whole_text))
             continue
         tag = child.tag
         if tag in DATA_ELEMENTS:
@@ -105,15 +111,24 @@ def _clean_element(src: Element, dest: Element) -> None:
             _clean_element(child, dest)
 
 
+def clean_tree(html: str) -> Element:
+    """Parse + safelist-clean, returning the cleaned body Element.
+
+    Callers that immediately walk the DOM (the extraction path) use this
+    to avoid the serialize -> re-parse round trip; ``clean_html`` is the
+    string view of the same tree, so both are semantically identical."""
+    body = parse_body_fragment(html)
+    clean_body = Element("body")
+    _clean_element(body, clean_body)
+    return clean_body
+
+
 def clean_html(html: str | None) -> str | None:
     """Jsoup.clean(html, HTML_SAFELIST) equivalent."""
     if html is None:
         return None
-    body = parse_body_fragment(html)
-    clean_body = Element("body")
-    _clean_element(body, clean_body)
     out: list[str] = []
-    serialize(clean_body, out)
+    serialize(clean_tree(html), out)
     return "".join(out)
 
 
