@@ -94,6 +94,10 @@ def main():
         "unraveldocs-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 16),
+        # tmpfs shuffle dirs: the sandbox's disk serializes concurrent
+        # shuffle writers and masks CPU scaling; a real cluster shuffles
+        # to per-executor NVMe (this stands in for that)
+        extra_conf={"spark.local.dir": "/dev/shm/unraveldocs-bench"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -821,3 +821,68 @@ REGISTRY.update(
         "daily_quota": {"builder": q_daily_quota, "sql": SQL_DAILY_QUOTA},
     }
 )
+
+
+def q_explode_unnest(spark, sf_dir):
+    """Collection ⋈ files 1:N unnest (DocumentCollectionRepository.java:24-37
+    `JOIN c.files f`): documents grouped into per-source arrays, exploded
+    back out with per-element position."""
+    d = _t(spark, sf_dir, "documents")
+    collections = d.groupBy("source").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("file_ids")
+    )
+    return (
+        collections.select(
+            "source", F.posexplode("file_ids").alias("file_pos", "doc_id")
+        )
+        .orderBy("source", "file_pos")
+    )
+
+
+SQL_EXPLODE_UNNEST = """
+WITH collections AS (
+  SELECT source, list_sort(list(doc_id)) AS file_ids FROM documents GROUP BY source
+)
+SELECT source,
+       CAST(u.i - 1 AS INT) AS file_pos,
+       file_ids[u.i] AS doc_id
+FROM collections,
+     UNNEST(range(1, len(file_ids) + 1)) AS u(i)
+ORDER BY source, file_pos
+"""
+
+
+def q_soft_delete_filter(spark, sf_dir):
+    """`deletedAt IS NULL` baseline predicate
+    (CustomUserRepositoryImpl.java:27) over a derived deleted_at column."""
+    d = _t(spark, sf_dir, "documents")
+    deleted_at = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("2026-02-01")
+    ).otherwise(F.lit(None))
+    src = d.select("doc_id", "lang", deleted_at.alias("deleted_at"))
+    return (
+        src.filter(F.col("deleted_at").isNull())
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_SOFT_DELETE_FILTER = """
+WITH src AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0 THEN '2026-02-01' END AS deleted_at
+  FROM documents
+)
+SELECT doc_id, lang FROM src WHERE deleted_at IS NULL ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "explode_unnest": {"builder": q_explode_unnest, "sql": SQL_EXPLODE_UNNEST},
+        "soft_delete_filter": {
+            "builder": q_soft_delete_filter,
+            "sql": SQL_SOFT_DELETE_FILTER,
+        },
+    }
+)
