@@ -140,3 +140,38 @@ class TestRollupProperties:
             assert status == "FAILED_OCR"
         else:
             assert status == "PROCESSING"
+
+
+class TestSinglePassEquivalence:
+    """The extraction fast path (clean tree -> walk) must be equivalent to
+    the string path (clean -> serialize -> reparse -> walk) for arbitrary
+    tag soup — guards the single-parse optimization."""
+
+    tags = ["p", "b", "em", "ul", "li", "h1", "h3", "div", "span", "script",
+            "nav", "unknown", "br", "a", "pre"]
+
+    @st.composite
+    def html_soup(draw):
+        parts = []
+        for _ in range(draw(st.integers(1, 8))):
+            choice = draw(st.integers(0, 3))
+            if choice == 0:
+                parts.append(draw(st.text(alphabet="ab <>&;cd \n\t", max_size=20)))
+            else:
+                tag = draw(st.sampled_from(TestSinglePassEquivalence.tags))
+                inner = draw(st.text(alphabet="xy z&<", max_size=15))
+                if draw(st.booleans()):
+                    parts.append(f"<{tag}>{inner}</{tag}>")
+                else:
+                    parts.append(f"<{tag}>{inner}")  # unclosed
+        return "".join(parts)
+
+    @given(html_soup())
+    @settings(max_examples=300, deadline=None)
+    def test_tree_walk_equals_string_roundtrip(self, soup):
+        from unraveldocs_spark.domwalk import html_blocks, html_blocks_from_body
+        from unraveldocs_spark.sanitizer import clean_html, clean_tree
+
+        fast = join_blocks(html_blocks_from_body(clean_tree(soup)))
+        slow = join_blocks(html_blocks(clean_html(soup)))
+        assert fast == slow
