@@ -587,7 +587,7 @@ def q_word_char_counts(spark, sf_dir):
 
 
 SQL_WORD_CHAR_COUNTS = """
-SELECT doc_id, length(text) AS n_chars_text,
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
 FROM documents ORDER BY doc_id
