@@ -175,3 +175,52 @@ class TestSinglePassEquivalence:
         fast = join_blocks(html_blocks_from_body(clean_tree(soup)))
         slow = join_blocks(html_blocks(clean_html(soup)))
         assert fast == slow
+
+
+class TestFastParserDifferential:
+    """The regex fast scanner must build the same DOM as the stdlib
+    html.parser reference for arbitrary tag soup."""
+
+    @staticmethod
+    def tree_repr(el):
+        from unraveldocs_spark.htmldom import Element, TextNode
+
+        if isinstance(el, TextNode):
+            return ("#text", el.whole_text)
+        return (el.tag, tuple(el.attrs), tuple(
+            TestFastParserDifferential.tree_repr(c) for c in el.children
+        ))
+
+    soup_alpha = "abc <>/&;\"'= \n\t-!xyz"
+
+    @given(st.text(alphabet=soup_alpha, max_size=60))
+    @settings(max_examples=500, deadline=None)
+    def test_random_soup(self, soup):
+        from unraveldocs_spark.htmldom import (
+            parse_body_fragment,
+            parse_body_fragment_stdlib,
+        )
+
+        fast = self.tree_repr(parse_body_fragment(soup))
+        ref = self.tree_repr(parse_body_fragment_stdlib(soup))
+        assert fast == ref, soup
+
+    @given(st.lists(st.sampled_from([
+        "<p>", "</p>", "<b>x</b>", "<ul><li>a<li>b</ul>", "<br>", "<br/>",
+        "<script>if(a<b){x&&y}</script>", "<style>p{}</style>",
+        "<!-- c -->", "<!doctype html>", "<a href='u?a=1&amp;b=2'>t</a>",
+        '<div class="x" id=y data-z>', "<P CLASS=UP>", "text & more",
+        "&lt;tag&gt;", "<unclosed", "< notag>", "</>", "<em>e", "&#65;&#x42;",
+        "<td colspan=2>", "<input type=text value='a b'/>",
+    ]), min_size=1, max_size=8))
+    @settings(max_examples=400, deadline=None)
+    def test_structured_soup(self, parts):
+        from unraveldocs_spark.htmldom import (
+            parse_body_fragment,
+            parse_body_fragment_stdlib,
+        )
+
+        soup = "".join(parts)
+        fast = self.tree_repr(parse_body_fragment(soup))
+        ref = self.tree_repr(parse_body_fragment_stdlib(soup))
+        assert fast == ref, soup

