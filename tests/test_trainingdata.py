@@ -178,3 +178,66 @@ class TestMultimodal:
         frames = frame_sample_stage(decoded, every_n=30).collect()
         assert frames
         assert all(r.frame_no % 30 == 0 for r in frames)
+
+
+class TestLangIdExpr:
+    def test_expr_matches_pure_python(self, spark):
+        from unraveldocs_spark.textanalysis import lang_id, lang_id_expr
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        texts = {r.doc_id: r.text for r in d.collect()}
+        got = {
+            r.doc_id: r.lang_pred
+            for r in d.select(
+                "doc_id", lang_id_expr(F.col("text")).alias("lang_pred")
+            ).collect()
+        }
+        for doc_id, text in texts.items():
+            assert got[doc_id] == lang_id(text), doc_id
+
+    def test_expr_on_known_samples(self, spark):
+        import pandas as pd
+
+        from unraveldocs_spark.textanalysis import lang_id_expr
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the cat and the dog sat on the mat of the king",
+                    "der hund und die katze sind schnell und schoen ich",
+                    "我是中国人我在这里他有大的",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        got = [r.lang_pred for r in sdf.select(
+            "doc_id", lang_id_expr(F.col("text")).alias("lang_pred")
+        ).orderBy("doc_id").collect()]
+        assert got == ["en", "de", "zh", "und"]
+
+
+class TestIvf:
+    def test_ivf_recall(self, spark):
+        from unraveldocs_spark.similarity import brute_force_topk, ivf_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+        rest = emb.filter(F.col("vec_id") != 0)
+        exact = {r.vec_id for r in brute_force_topk(rest, qvec, 10).collect()}
+        approx = {
+            r.vec_id
+            for r in ivf_topk(rest, qvec, 10, n_centroids=16, nprobe=8).collect()
+        }
+        assert len(exact & approx) / 10 >= 0.5
+
+    def test_ivf_deterministic(self, spark):
+        from unraveldocs_spark.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+        rest = emb.filter(F.col("vec_id") != 0)
+        a = [r.vec_id for r in ivf_topk(rest, qvec, 10).collect()]
+        b = [r.vec_id for r in ivf_topk(rest, qvec, 10).collect()]
+        assert a == b and len(a) == 10

@@ -114,10 +114,15 @@ def q_simhash_near_dupes(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    from .textanalysis import lang_id_stage
+    """Language-ID via pure column expressions (JVM-side, oracle-checked);
+    the pandas-UDF variant (textanalysis.lang_id_stage) is pytest-checked
+    equivalent."""
+    from .textanalysis import lang_id_expr
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return lang_id_stage(d).orderBy("doc_id")
+    return d.select(
+        "doc_id", lang_id_expr(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -135,6 +140,16 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, probe_hamming=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from .similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, n_centroids=16, nprobe=6
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     from .multimodal import attach_binary_payload, decode_stage
 
@@ -142,13 +157,23 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_stage(attach_binary_payload(d)).orderBy("doc_id")
 
 
+def _lang_id_sql() -> str:
+    from .textanalysis import lang_id_sql_expr
+
+    return (
+        f"SELECT doc_id, {lang_id_sql_expr('text')} AS lang_pred "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 ENTRY_REGISTRY: dict[str, dict] = {
     "extract_turns": {"builder": q_extract_turns, "sql": SQL_EXTRACT_TURNS},
     "extract_rollup": {"builder": q_extract_rollup, "sql": SQL_EXTRACT_ROLLUP},
     "extract_synthetic": {"builder": q_extract_synthetic, "sql": None},
     "simhash_near_dupes": {"builder": q_simhash_near_dupes, "sql": None},
-    "lang_id": {"builder": q_lang_id, "sql": None},
+    "lang_id": {"builder": q_lang_id, "sql": _lang_id_sql()},
     "winnow_fingerprints": {"builder": q_winnow_fingerprints, "sql": None},
     "ann_lsh_topk": {"builder": q_ann_lsh, "sql": None},
+    "ann_ivf_topk": {"builder": q_ann_ivf, "sql": None},
     "multimodal_decode": {"builder": q_multimodal_decode, "sql": None},
 }

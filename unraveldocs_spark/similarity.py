@@ -106,3 +106,47 @@ def lsh_topk(
     ).select("vec_id")
     pruned = embeddings.join(candidates, "vec_id", "left_semi")
     return brute_force_topk(pruned, query_vec, k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+):
+    """IVF-style ANN: deterministic coarse centroids (the ``n_centroids``
+    lowest vec_ids stand in for a k-means codebook), vectors assigned to
+    their nearest centroid once (numpy, Arrow-batched), queries probe only
+    the ``nprobe`` nearest inverted lists.
+
+    At scale the assignment is computed once and stored as a partition
+    column, so a query scans only nprobe partitions of the table."""
+    cent_rows = embeddings.orderBy("vec_id").limit(n_centroids).collect()
+    cents = np.asarray([list(r.embedding) for r in cent_rows], dtype=np.float64)
+    cents_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "centroid_id": []})
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cents_unit.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "centroid_id": sims.argmax(axis=1)}
+            )
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, centroid_id int"
+    )
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsims = (q / np.linalg.norm(q)) @ cents_unit.T
+    probe = [int(i) for i in np.argsort(-qsims)[:nprobe]]
+
+    candidates = assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")
+    pruned = embeddings.join(candidates, "vec_id", "left_semi")
+    return brute_force_topk(pruned, query_vec, k)

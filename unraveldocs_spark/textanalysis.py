@@ -225,3 +225,52 @@ def fingerprint_stage(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return docs.select(id_col, text_col).mapInPandas(
         run, schema="doc_id long, fingerprints array<long>, n_fingerprints int"
     )
+
+
+def lang_id_expr(text_col):
+    """Column-expression variant of :func:`lang_id` (pure built-ins, so it
+    is whole-stage-codegen'd JVM-side and SQL-oracle-checkable).
+
+    Occurrence counting via the replace trick:
+    count(g in s) = (len(s) - len(replace(s, g, ''))) / len(g) — identical
+    to str.count's non-overlapping left-to-right semantics.
+    """
+    from pyspark.sql import functions as F
+
+    def score(lang):
+        total = F.lit(0)
+        for g in _LANG_PROFILES[lang]:
+            cnt = (
+                (F.length(text_col) - F.length(F.replace(text_col, F.lit(g), F.lit(""))))
+                / F.lit(len(g))
+            ).cast("int")
+            total = total + cnt
+        return total
+
+    langs = sorted(_LANG_PROFILES)
+    scores = {lang: score(lang) for lang in langs}
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # earliest lang in sorted order wins ties
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred
+
+
+def lang_id_sql_expr(text_sql: str) -> str:
+    """DuckDB SQL mirroring :func:`lang_id_expr` (generated from the same
+    profile table so the two can never drift)."""
+    langs = sorted(_LANG_PROFILES)
+
+    def score(lang):
+        parts = [
+            f"CAST((length({text_sql}) - length(replace({text_sql}, '{g}', ''))) / {len(g)} AS INT)"
+            for g in _LANG_PROFILES[lang]
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    scores = {lang: score(lang) for lang in langs}
+    best = "GREATEST(" + ", ".join(scores[lang] for lang in langs) + ")"
+    case = f"CASE WHEN {best} <= 0 THEN 'und'"
+    for lang in langs:
+        case += f" WHEN {scores[lang]} = {best} THEN '{lang}'"
+    return case + " END"
