@@ -22,6 +22,7 @@ from .schemas import EXTRACTIONS_SCHEMA
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
+        carry_ts = "ts" in pdf.columns
         conv_ids = pdf["conv_id"].to_numpy()
         turn_idxs = pdf["turn_idx"].to_numpy()
         roles = pdf["role"].to_numpy()
@@ -58,25 +59,32 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             n_chars[i] = r.n_chars
             n_words[i] = r.n_words
 
-        yield pd.DataFrame(
-            {
-                "conv_id": conv_ids,
-                "turn_idx": turn_idxs,
-                "extracted_text": extracted,
-                "spans": spans,
-                "status": status,
-                "error_message": error,
-                "content_format": fmt,
-                "rule": rule,
-                "n_chars": pd.array(n_chars, dtype="int32"),
-                "n_words": pd.array(n_words, dtype="int32"),
-            }
-        )
+        out = {
+            "conv_id": conv_ids,
+            "turn_idx": turn_idxs,
+            "extracted_text": extracted,
+            "spans": spans,
+            "status": status,
+            "error_message": error,
+            "content_format": fmt,
+            "rule": rule,
+            "n_chars": pd.array(n_chars, dtype="int32"),
+            "n_words": pd.array(n_words, dtype="int32"),
+        }
+        if carry_ts:
+            out["ts"] = pdf["ts"].to_numpy()
+        yield pd.DataFrame(out)
 
 
-def extract_stage(transcripts_df):
+def extract_stage(transcripts_df, carry_ts: bool = False):
     """transcripts (conv_id, turn_idx, role, text, tool, ts) ->
-    extractions (EXTRACTIONS_SCHEMA)."""
-    return transcripts_df.select(
-        "conv_id", "turn_idx", "role", "text", "tool"
-    ).mapInPandas(_extract_batches, schema=EXTRACTIONS_SCHEMA)
+    extractions (EXTRACTIONS_SCHEMA).  With ``carry_ts`` the event time
+    rides through the stage (needed by watermarked streaming consumers)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    schema = EXTRACTIONS_SCHEMA
+    if carry_ts:
+        from pyspark.sql.types import StructField, StructType, TimestampType
+
+        cols.append("ts")
+        schema = StructType(schema.fields + [StructField("ts", TimestampType(), False)])
+    return transcripts_df.select(*cols).mapInPandas(_extract_batches, schema=schema)
