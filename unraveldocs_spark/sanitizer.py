@@ -84,13 +84,14 @@ def _protocol_ok(tag: str, attr: str, value: str) -> bool:
 
 
 def _clean_element(src: Element, dest: Element) -> None:
+    dest_children = dest.children
     for child in src.children:
         if isinstance(child, TextNode):
             # merge with a preceding text node (dropping a disallowed tag
             # between two text runs must splice them, as jsoup's cleaned
             # document would render them — one normalized run)
-            if dest.children and isinstance(dest.children[-1], TextNode):
-                dest.children[-1].whole_text += child.whole_text
+            if dest_children and isinstance(dest_children[-1], TextNode):
+                dest_children[-1].whole_text += child.whole_text
             else:
                 dest.append(TextNode(child.whole_text))
             continue
@@ -98,14 +99,23 @@ def _clean_element(src: Element, dest: Element) -> None:
         if tag in DATA_ELEMENTS:
             continue  # script/style content discarded wholesale
         if tag in ALLOWED_TAGS:
-            kept_attrs = []
-            allowed = ALLOWED_ATTRS.get(tag, frozenset())
-            for k, v in child.attrs:
-                if k in allowed and _protocol_ok(tag, k, v):
-                    kept_attrs.append((k, v))
+            if child.attrs:
+                allowed = ALLOWED_ATTRS.get(tag)
+                kept_attrs = (
+                    [
+                        (k, v)
+                        for k, v in child.attrs
+                        if k in allowed and _protocol_ok(tag, k, v)
+                    ]
+                    if allowed
+                    else []
+                )
+            else:
+                kept_attrs = []
             new_el = Element(tag, kept_attrs)
             dest.append(new_el)
-            _clean_element(child, new_el)
+            if child.children:
+                _clean_element(child, new_el)
         else:
             # disallowed element: skip the tag, keep traversing children
             _clean_element(child, dest)
