@@ -38,7 +38,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import EXTRACTIONS_SCHEMA, LINEAGE_SCHEMA
 

@@ -24,7 +24,6 @@ depends on task layout.
 
 from __future__ import annotations
 
-import json
 import time
 import uuid
 
