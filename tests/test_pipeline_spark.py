@@ -202,3 +202,33 @@ class TestGeneratorParity:
         got = sdf.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         exp = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestSkewBalance:
+    def test_salted_partitions_are_balanced_under_extreme_skew(self, spark):
+        """F8 stress: one conversation 200x the median must not pin a
+        task — after salting, the largest partition stays within a small
+        factor of the mean."""
+        from pyspark.sql import functions as F
+
+        pdf = G.transcripts_pandas(12, median_turns=10, hot_factor=200,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf)
+        n_parts = 16
+        staged = salted_repartition(sdf, n_parts)
+        sizes = (
+            staged.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in sizes]
+        mean = sum(counts) / n_parts
+        assert max(counts) <= 2 * mean, (sorted(counts), mean)
+
+        # contrast: an UNSALTED repartition(conv_id) pins the hot conv
+        unsalted = sdf.repartition(n_parts, F.col("conv_id"))
+        u_sizes = [
+            r["count"]
+            for r in unsalted.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        ]
+        assert max(u_sizes) > max(counts), "salting should beat conv-only partitioning"
