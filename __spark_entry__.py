@@ -15,7 +15,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# python workers resolve module-referenced mapInPandas functions via
+# PYTHONPATH; set it before any SparkSession (and its workers) exist
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_DIR
+    )
 
 from unraveldocs_spark.entry_queries import ENTRY_REGISTRY  # noqa: E402
 from unraveldocs_spark.queries import REGISTRY  # noqa: E402
