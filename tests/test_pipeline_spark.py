@@ -232,3 +232,61 @@ class TestSkewBalance:
             for r in unsalted.groupBy(F.spark_partition_id().alias("p")).count().collect()
         ]
         assert max(u_sizes) > max(counts), "salting should beat conv-only partitioning"
+
+
+class TestTwoPhaseResume:
+    def test_complete_convs_pruned_then_keys(self, spark, tmp_path):
+        """Conversation 0 fully done, conversation 1 half done: the
+        two-phase resume must return exactly the missing keys."""
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.checkpoint import resume_filter
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(4, median_turns=8, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / "tp"))
+        done_input = sdf.filter(
+            (F.col("conv_id") == G.conv_name(0))
+            | ((F.col("conv_id") == G.conv_name(1)) & (F.col("turn_idx") % 2 == 0))
+        )
+        run_extraction(spark, done_input, store=store, num_partitions=4)
+
+        remaining = resume_filter(sdf, store, spark)
+        got = {(r.conv_id, r.turn_idx) for r in remaining.select("conv_id", "turn_idx").collect()}
+        expected = {
+            (c, t)
+            for c, t in zip(pdf.conv_id, pdf.turn_idx)
+            if not (
+                c == G.conv_name(0)
+                or (c == G.conv_name(1) and t % 2 == 0)
+            )
+        }
+        assert got == expected
+
+        # both resume variants agree
+        got1 = {
+            (r.conv_id, r.turn_idx)
+            for r in resume_filter(sdf, store, spark, two_phase=False)
+            .select("conv_id", "turn_idx")
+            .collect()
+        }
+        assert got1 == expected
+
+    def test_plan_has_conv_prune_before_key_anti(self, spark, tmp_path):
+        import io
+        from contextlib import redirect_stdout
+
+        from unraveldocs_spark.checkpoint import resume_filter
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(3, median_turns=4, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / "tp2"))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            resume_filter(sdf, store, spark).explain("simple")
+        plan = buf.getvalue()
+        assert plan.count("LeftAnti") >= 2  # conv-level prune + key-level

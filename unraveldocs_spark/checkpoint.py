@@ -148,8 +148,36 @@ class IcebergCheckpointStore:
         return self.results(spark).select(*KEYS)
 
 
-def resume_filter(transcripts: DataFrame, store, spark: SparkSession) -> DataFrame:
+def resume_filter(
+    transcripts: DataFrame, store, spark: SparkSession, two_phase: bool = True
+) -> DataFrame:
     """Drop already-extracted turns: the left-anti resume join
-    (SURVEY.md §2.2 'idempotency predicate')."""
+    (SURVEY.md §2.2 'idempotency predicate').
+
+    Two-phase at scale: first drop whole conversations whose completed
+    count matches the input count (an anti-join on conv_id — small keys,
+    broadcastable when few convs remain incomplete), then key-level
+    anti-join only against the partially-complete remainder.  At 10^12
+    turns this shrinks the right side of the expensive (conv_id, turn_idx)
+    anti-join from every completed key to only the keys of interrupted
+    conversations.  Input drift is safe: a conversation that gained or
+    lost turns since the snapshot fails the count equality and falls back
+    to the key-level path."""
+    from pyspark.sql import functions as F
+
     done = store.completed_keys(spark)
-    return transcripts.join(done, KEYS, "left_anti")
+    if not two_phase:
+        return transcripts.join(done, KEYS, "left_anti")
+
+    done_counts = done.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_done_n"))
+    input_counts = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_total_n")
+    )
+    complete_convs = (
+        done_counts.join(input_counts, "conv_id")
+        .filter(F.col("_done_n") == F.col("_total_n"))
+        .select("conv_id")
+    )
+    remaining = transcripts.join(complete_convs, "conv_id", "left_anti")
+    partial_done = done.join(complete_convs, "conv_id", "left_anti")
+    return remaining.join(partial_done, KEYS, "left_anti")
