@@ -290,3 +290,37 @@ class TestTwoPhaseResume:
             resume_filter(sdf, store, spark).explain("simple")
         plan = buf.getvalue()
         assert plan.count("LeftAnti") >= 2  # conv-level prune + key-level
+
+
+class TestSnapshotAtomicity:
+    def test_unmanifested_snapshot_is_invisible(self, spark, tmp_path):
+        """A snapshot directory without its manifest (simulated mid-write
+        crash) must be invisible to readers and resume."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        pdf = G.transcripts_pandas(3, median_turns=4, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf)
+        store = DirCheckpointStore(str(tmp_path / "atom"))
+        run_extraction(spark, sdf, store=store, num_partitions=4)
+        assert store.snapshots() == ["snap-000001"]
+        n = store.results(spark).count()
+
+        # simulate a crash mid-publish: snapshot dir present, manifest gone
+        crashed = os.path.join(store.snap_dir, "snap-000002")
+        os.makedirs(os.path.join(crashed, "results"))
+        with open(os.path.join(crashed, "results", "junk.parquet"), "w") as f:
+            f.write("not parquet")
+        assert store.snapshots() == ["snap-000001"]
+        assert store.results(spark).count() == n
+
+        # a later append must skip the crashed id (no rename collision)
+        # and the crashed dir stays invisible forever
+        extra = store.results(spark).limit(1)
+        snap = store.append(extra)
+        assert snap == "snap-000003"
+        assert store.snapshots() == ["snap-000001", "snap-000003"]
+        assert store.results(spark).count() == n + 1
+        assert os.path.exists(crashed)  # untouched, still unmanifested

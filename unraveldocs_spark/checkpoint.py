@@ -63,9 +63,15 @@ class DirCheckpointStore:
         )
 
     def _next_snapshot_id(self) -> str:
-        snaps = self.snapshots()
-        n = int(snaps[-1].split("-")[1]) + 1 if snaps else 1
-        return f"snap-{n:06d}"
+        # consider every snap-* directory, committed or not: a crashed
+        # (unmanifested) snapshot must not block future appends by
+        # colliding on the rename target
+        existing = [
+            int(d.split("-")[1])
+            for d in os.listdir(self.snap_dir)
+            if d.startswith("snap-")
+        ]
+        return f"snap-{(max(existing) + 1 if existing else 1):06d}"
 
     # -- write ------------------------------------------------------------
     def append(
