@@ -502,14 +502,19 @@ def q_tag_split(spark, sf_dir):
         F.transform(F.split(tags_raw, ","), lambda x: F.trim(x)),
         lambda x: x != "",
     )
-    return d.select("doc_id", tags.alias("tags")).orderBy("doc_id")
+    # joined-string output: the one array-valued oracle column would
+    # otherwise depend on how the driver's hasher canonicalizes lists
+    return d.select(
+        "doc_id", F.array_join(tags, "|").alias("tags_joined")
+    ).orderBy("doc_id")
 
 
 SQL_TAG_SPLIT = """
 SELECT doc_id,
-       list_filter(list_transform(string_split(' ' || lang || ' , ' || source || ' ,, misc ,', ','),
-                                  x -> trim(x)),
-                   x -> x <> '') AS tags
+       array_to_string(
+         list_filter(list_transform(string_split(' ' || lang || ' , ' || source || ' ,, misc ,', ','),
+                                    x -> trim(x)),
+                     x -> x <> ''), '|') AS tags_joined
 FROM documents ORDER BY doc_id
 """
 
