@@ -120,3 +120,17 @@ class TestOracleRows:
             "conv_id", "turn_idx", "extracted_text", "spans", "status",
             "error_message", "content_format", "rule", "n_chars", "n_words",
         }
+
+
+class TestVisionFamily:
+    def test_vision_dispatch(self):
+        payload = '{"kind":"vision","full_text":{"text":"hello vision","blocks":[{"confidence":0.9}]}}'
+        r = O.extract_turn("assistant", None, payload)
+        assert r.status == "COMPLETED"
+        assert r.extracted_text == "hello vision"
+        assert r.rule == O.RULE_VISION
+        assert r.spans == [(0, 12, "other")]
+
+    def test_vision_empty_response_completed_empty(self):
+        r = O.extract_turn("user", None, '{"kind":"vision"}')
+        assert r.status == "COMPLETED" and r.extracted_text == "" and r.spans == []

@@ -75,6 +75,7 @@ class TestExactEquality:
             O.RULE_ERROR_NO_DATA,
             O.RULE_ERROR_UNSUPPORTED,
             O.RULE_ERROR_OVERSIZE,
+            O.RULE_VISION,
         } <= rules
 
     def test_spans_index_into_text(self, spark, smoke_sdf):
@@ -324,3 +325,24 @@ class TestSnapshotAtomicity:
         assert store.snapshots() == ["snap-000001", "snap-000003"]
         assert store.results(spark).count() == n + 1
         assert os.path.exists(crashed)  # untouched, still unmanifested
+
+
+class TestVisionMetrics:
+    def test_metrics_match_pure_semantics(self, spark, smoke_sdf, smoke_pdf):
+        import json
+
+        from unraveldocs_spark import semantics as S
+        from unraveldocs_spark.extract import vision_metrics_stage
+
+        got = {
+            (r.conv_id, r.turn_idx): (r.confidence, r.language_detected)
+            for r in vision_metrics_stage(smoke_sdf).collect()
+        }
+        expected = {}
+        for c, t, text in zip(smoke_pdf.conv_id, smoke_pdf.turn_idx, smoke_pdf.text):
+            if isinstance(text, str) and S.try_parse_envelope(text) is not None \
+                    and S.try_parse_envelope(text).kind == "vision":
+                _, conf, lang = S.extract_vision(json.loads(text))
+                expected[(c, t)] = (conf, lang)
+        assert got == expected
+        assert expected, "smoke tier must contain vision payloads"

@@ -236,3 +236,55 @@ class TestEnvelope:
 
     def test_malformed_envelope_falls_through(self):
         assert S.try_parse_envelope('{"kind": broken') is None
+
+
+class TestVisionShaping:
+    """GoogleVisionOcrProvider.java:250-332 selection logic."""
+
+    def test_full_text_wins_over_annotations(self):
+        text, conf, lang = S.extract_vision(
+            {
+                "full_text": {"text": "FULL", "blocks": [{"confidence": 0.8}], "languages": ["en"]},
+                "annotations": [{"description": "IGNORED", "score": 0.9, "locale": "fr"}],
+            }
+        )
+        assert text == "FULL" and conf == 0.8 and lang == "en"
+
+    def test_annotation_fallback(self):
+        text, conf, lang = S.extract_vision(
+            {"annotations": [{"description": "ANN", "score": 0.7, "locale": "es"}]}
+        )
+        assert text == "ANN" and conf == 0.7 and lang == "es"
+
+    def test_empty_response(self):
+        assert S.extract_vision({}) == ("", None, None)
+
+    def test_confidence_is_block_mean(self):
+        _, conf, _ = S.extract_vision(
+            {"full_text": {"text": "x", "blocks": [{"confidence": 0.5}, {"confidence": 1.0}]}}
+        )
+        assert conf == 0.75
+
+    def test_no_blocks_falls_to_annotation_score(self):
+        _, conf, _ = S.extract_vision(
+            {"full_text": {"text": "x", "blocks": []},
+             "annotations": [{"description": "d", "score": 0.6}]}
+        )
+        assert conf == 0.6
+
+    def test_zero_score_gives_none(self):
+        _, conf, _ = S.extract_vision(
+            {"annotations": [{"description": "d", "score": 0.0}]}
+        )
+        assert conf is None
+
+    def test_language_fallback_chain(self):
+        _, _, lang = S.extract_vision(
+            {"full_text": {"text": "x", "languages": []},
+             "annotations": [{"description": "d", "locale": "de"}]}
+        )
+        assert lang == "de"
+        _, _, lang2 = S.extract_vision(
+            {"annotations": [{"description": "d", "locale": ""}]}
+        )
+        assert lang2 is None

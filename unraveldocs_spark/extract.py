@@ -88,3 +88,36 @@ def extract_stage(transcripts_df, carry_ts: bool = False):
         cols.append("ts")
         schema = StructType(schema.fields + [StructField("ts", TimestampType(), False)])
     return transcripts_df.select(*cols).mapInPandas(_extract_batches, schema=schema)
+
+
+def vision_metrics_stage(transcripts_df):
+    """Per-turn confidence + detected language for vision payloads — the
+    OcrResult.confidence / languageDetected fields (OcrResult.java:16-127)
+    shaped per GoogleVisionOcrProvider.java:272-332.  Emits one row per
+    vision turn; other payload kinds produce no row."""
+    import json as _json
+
+    from .semantics import extract_vision, try_parse_envelope
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"conv_id": [], "turn_idx": [], "confidence": [], "language_detected": []}
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if not isinstance(text, str):
+                    continue
+                env = try_parse_envelope(text)
+                if env is None or env.kind != "vision":
+                    continue
+                _, conf, lang = extract_vision(_json.loads(text))
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["confidence"].append(conf)
+                out["language_detected"].append(lang)
+            yield pd.DataFrame(out)
+
+    return transcripts_df.select("conv_id", "turn_idx", "text").mapInPandas(
+        run,
+        schema="conv_id string, turn_idx int, confidence double, language_detected string",
+    )

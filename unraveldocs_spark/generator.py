@@ -155,6 +155,38 @@ def _pages_payload(c: int, t: int, ocr: bool, selection: bool) -> str:
     return json.dumps(obj, separators=(",", ":"))
 
 
+def _vision_payload(c: int, t: int) -> str:
+    """F9: vision-style response object (GoogleVisionOcrProvider.java:250-332
+    shaping: full-text-vs-annotation fallback, block-confidence mean,
+    language selection)."""
+    mode = _draw(c, t, 190, 4)
+    obj: dict = {"kind": "vision"}
+    if mode < 2:  # full text annotation present
+        n_blocks = _draw(c, t, 191, 4)  # 0..3 blocks
+        obj["full_text"] = {
+            "text": _sentence(c, t, 192) + "\n" + _sentence(c, t, 193),
+            "blocks": [
+                {"confidence": round(0.5 + _draw(c, t, 194 + i, 50) / 100, 2)}
+                for i in range(n_blocks)
+            ],
+            "languages": ["en"] if _draw(c, t, 198, 2) == 0 else [],
+        }
+        if mode == 1:  # annotations also present; full text must win
+            obj["annotations"] = [
+                {"description": "IGNORED", "score": 0.9, "locale": "fr"}
+            ]
+    elif mode == 2:  # annotations only
+        obj["annotations"] = [
+            {
+                "description": _sentence(c, t, 195),
+                "score": round(_draw(c, t, 196, 100) / 100, 2),
+                "locale": "es" if _draw(c, t, 197, 2) == 0 else "",
+            }
+        ]
+    # mode 3: empty response -> extracted ""
+    return json.dumps(obj, separators=(",", ":"))
+
+
 def _tool_payload(c: int, t: int) -> str:
     body = json.dumps(
         {"result": _words(c, t, 180, 4), "count": _draw(c, t, 181, 1000)},
@@ -206,7 +238,7 @@ def make_turn(conv_idx: int, turn_idx: int, include_oversize: bool = True):
     elif fam < 98:
         text = '{"kind":"audio","data":"AAAA"}'  # F7 unsupported kind
     else:
-        text = _plain_payload(conv_idx, turn_idx)
+        text = _vision_payload(conv_idx, turn_idx)  # F9
     return role, text, tool
 
 

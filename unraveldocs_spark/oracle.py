@@ -36,6 +36,7 @@ exception message (ProcessOcr.java:129-139).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from . import semantics as S
@@ -53,6 +54,7 @@ RULE_PAGES_DIRECT = "pages_direct"
 RULE_PAGES_OCR_FALLBACK = "pages_ocr_fallback"
 RULE_HTML = "html"
 RULE_PLAIN = "plain"
+RULE_VISION = "vision"
 
 ALL_RULES = (
     RULE_ERROR_NO_DATA,
@@ -65,6 +67,7 @@ ALL_RULES = (
     RULE_PAGES_OCR_FALLBACK,
     RULE_HTML,
     RULE_PLAIN,
+    RULE_VISION,
 )
 
 FORMAT_HTML = "HTML"
@@ -133,6 +136,17 @@ def extract_turn(role: str | None, tool: str | None, text: str | None) -> Extrac
         # 4. structured page envelope
         env = S.try_parse_envelope(text)
         if env is not None:
+            if env.kind == "vision":
+                # vision response shaping (GoogleVisionOcrProvider.java:250-332)
+                obj = json.loads(text)
+                extracted, _conf, _lang = S.extract_vision(obj)
+                return ExtractionResult(
+                    extracted_text=extracted,
+                    spans=[(0, len(extracted), "other")] if extracted else [],
+                    status=S.STATUS_COMPLETED,
+                    content_format=FORMAT_MARKDOWN,
+                    rule=RULE_VISION,
+                )
             if env.kind != "pages":
                 return _failed(
                     f"{S.ERR_UNSUPPORTED}: {env.kind}", RULE_ERROR_UNSUPPORTED

@@ -400,3 +400,56 @@ def try_parse_envelope(text: str):
         )
     except (ValueError, TypeError):
         return None
+
+
+# ---------------------------------------------------------------------------
+# Vision response shaping — mirrors SRC/googlevision/service/
+# GoogleVisionOcrProvider.java:250-332 (extractFullText / extractConfidence /
+# extractLanguage); the external API is replaced by a deterministic payload
+# (FIXTURES F9), but the selection logic is the reference's.
+# ---------------------------------------------------------------------------
+
+
+def extract_vision(obj: dict) -> tuple[str, float | None, str | None]:
+    """(text, confidence, language) from a vision-style response object.
+
+    - text: full_text.text if a full-text annotation exists, else the
+      FIRST annotation's description, else "" (lines 253-267);
+    - confidence: mean of full_text page-0 block confidences when pages
+      and blocks are non-empty; else first annotation's score when > 0;
+      else None (lines 272-303);
+    - language: full_text page-0 first detected language; else first
+      annotation's locale when non-empty; else None (lines 308-331).
+    """
+    full_text = obj.get("full_text")
+    annotations = obj.get("annotations") or []
+
+    if full_text is not None and "text" in full_text:
+        text = str(full_text["text"])
+    elif annotations:
+        text = str(annotations[0].get("description", ""))
+    else:
+        text = ""
+
+    confidence = None
+    if full_text is not None:
+        blocks = full_text.get("blocks") or []
+        if blocks:
+            confs = [float(b.get("confidence", 0.0)) for b in blocks]
+            confidence = sum(confs) / len(confs)
+    if confidence is None and annotations:
+        score = float(annotations[0].get("score", 0.0))
+        if score > 0:
+            confidence = score
+
+    language = None
+    if full_text is not None:
+        langs = full_text.get("languages") or []
+        if langs:
+            language = str(langs[0])
+    if language is None and annotations:
+        locale = str(annotations[0].get("locale", ""))
+        if locale != "":
+            language = locale
+
+    return text, confidence, language
