@@ -275,6 +275,48 @@ class TestTwoPhaseResume:
         }
         assert got1 == expected
 
+    def test_net_zero_drift_not_skipped(self, spark, tmp_path):
+        """Input drift with equal counts (one turn added, one removed since
+        the snapshot) must NOT pass the conversation-complete check: the
+        new turn has to come back from resume (ADVICE r1: compare key
+        sets via semi-join, not raw counts)."""
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.checkpoint import resume_filter
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(3, median_turns=8, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        conv = G.conv_name(1)
+        n_turns = int((pdf.conv_id == conv).sum())
+        store = DirCheckpointStore(str(tmp_path / "drift"))
+        # snapshot completes ALL of conversation 1 as it existed then
+        run_extraction(
+            spark, sdf.filter(F.col("conv_id") == conv), store=store,
+            num_partitions=4,
+        )
+        # drift: turn 0 removed, turn n_turns appended — count unchanged
+        drifted = sdf.filter(
+            ~((F.col("conv_id") == conv) & (F.col("turn_idx") == 0))
+        ).unionByName(
+            sdf.filter((F.col("conv_id") == conv) & (F.col("turn_idx") == 1))
+            .withColumn("turn_idx", F.lit(n_turns))
+        )
+        for two_phase in (True, False):
+            got = {
+                (r.conv_id, r.turn_idx)
+                for r in resume_filter(drifted, store, spark, two_phase=two_phase)
+                .select("conv_id", "turn_idx")
+                .collect()
+            }
+            # the appended turn must be processed; conversations 0/2 were
+            # never extracted so every one of their turns remains
+            expected = {
+                (c, t) for c, t in zip(pdf.conv_id, pdf.turn_idx) if c != conv
+            } | {(conv, n_turns)}
+            assert got == expected, f"two_phase={two_phase}"
+
     def test_plan_has_conv_prune_before_key_anti(self, spark, tmp_path):
         import io
         from contextlib import redirect_stdout

@@ -27,14 +27,17 @@ class TestAssemblyProperties:
     @given(pages_st)
     @settings(max_examples=150)
     def test_direct_contributors_are_stripped(self, pages):
+        # Java String.strip() semantics: NBSP is content, not whitespace
         out = S.assemble_direct_text(pages, list(range(len(pages))))
         if out:
-            assert out == out.strip()
+            assert out == S.java_strip(out)
 
     @given(pages_st)
     @settings(max_examples=150)
     def test_blank_only_pages_give_empty(self, pages):
-        blanks = [p if p is None or p.strip() == "" else "  " for p in pages]
+        blanks = [
+            p if p is None or S.java_is_blank(p) else "  " for p in pages
+        ]
         assert S.assemble_direct_text(blanks, list(range(len(blanks)))) == ""
 
     @given(pages_st)
@@ -212,6 +215,9 @@ class TestFastParserDifferential:
         '<div class="x" id=y data-z>', "<P CLASS=UP>", "text & more",
         "&lt;tag&gt;", "<unclosed", "< notag>", "</>", "<em>e", "&#65;&#x42;",
         "<td colspan=2>", "<input type=text value='a b'/>",
+        # raw-text (cdata) close-tag edge shapes — ADVICE r1 regressions
+        "</scripty>", "</script extra>", "</script", "</ script >",
+        "<script>", "</style2>", "x&nbsp;y",
     ]), min_size=1, max_size=8))
     @settings(max_examples=400, deadline=None)
     def test_structured_soup(self, parts):
@@ -224,3 +230,52 @@ class TestFastParserDifferential:
         fast = self.tree_repr(parse_body_fragment(soup))
         ref = self.tree_repr(parse_body_fragment_stdlib(soup))
         assert fast == ref, soup
+
+    # pinned regressions: the fast scanner's raw-text handling must only
+    # close a <script>/<style> at a COMPLETE matching end tag, exactly
+    # like stdlib cdata mode (ADVICE r1, htmldom.py raw-text fix)
+    CDATA_SHAPES = [
+        "<script></scripty>x</script>after",
+        "<script>a</script extra>b</script>c",
+        "<script>x</script",          # unterminated close tag -> dropped
+        "<script>x",                   # unterminated raw text -> dropped
+        "<script></ script >tail",
+        "<script></SCRIPT\t>tail",
+        "<style>p{}</styleX></style>done",
+        "<script>if(a<b){x&&y}</scripty></script>z",
+        "<p>k</p><script></scriptt></script><p>m</p>",
+    ]
+
+    def test_cdata_close_tag_shapes_pinned(self):
+        from unraveldocs_spark.htmldom import (
+            parse_body_fragment,
+            parse_body_fragment_stdlib,
+        )
+
+        for soup in self.CDATA_SHAPES:
+            fast = self.tree_repr(parse_body_fragment(soup))
+            ref = self.tree_repr(parse_body_fragment_stdlib(soup))
+            assert fast == ref, soup
+
+    def test_cdata_nonmatching_close_stays_inside(self):
+        """'</scripty>x' must stay INSIDE the script (discarded by text
+        walks), not leak into body text."""
+        from unraveldocs_spark.domwalk import extract_main_content
+
+        text, _ = extract_main_content(
+            "<p>a</p><script></scripty>x</script><p>b</p>"
+        )
+        assert text == "a\nb"
+
+    def test_nbsp_preserved_in_extracted_text(self):
+        """jsoup normaliseWhitespace collapses only ASCII whitespace:
+        &nbsp; (U+00A0) survives into extracted text."""
+        from unraveldocs_spark.domwalk import extract_main_content
+        from unraveldocs_spark.htmldom import normalize_whitespace
+
+        assert normalize_whitespace("a \t\xa0 b") == "a \xa0 b"
+        text, _ = extract_main_content("<p>a&nbsp;b</p>")
+        assert text == "a\xa0b"
+        # NBSP-only paragraph is not whitespace-only: it is kept
+        text, _ = extract_main_content("<p>&nbsp;</p><p>x</p>")
+        assert text == "\xa0\nx"

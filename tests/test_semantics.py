@@ -196,6 +196,32 @@ class TestStringOps:
         assert S.word_count(None) == 0
         assert S.word_count("single") == 1
 
+    def test_word_count_java_split_untrimmed(self):
+        # Java " a b".split("\\s+") -> ["", "a", "b"]: leading whitespace
+        # contributes an empty token (OcrResult.java:83-88 does NOT trim)
+        assert S.word_count(" a b") == 3
+        # trailing empties are removed by Java split (limit 0)
+        assert S.word_count("a b ") == 2
+        assert S.word_count("\ta") == 2
+
+    def test_word_count_ascii_whitespace_only(self):
+        # Java \s is ASCII: NBSP does not split words...
+        assert S.word_count("a b") == 1
+        # ...and NBSP is not Java-blank (Character.isWhitespace is false)
+        assert S.word_count(" ") == 1
+        # \x0B (VT) IS Java \s
+        assert S.word_count("a\x0bb") == 2
+
+    def test_java_whitespace_helpers(self):
+        assert S.java_is_blank(" \t\r\n\x0b\f")
+        assert S.java_is_blank("")
+        assert not S.java_is_blank(" ")
+        assert not S.java_is_blank("\x85")  # NEL: Python isspace, Java not
+        assert S.java_strip("   x ") == "  x"
+        assert S.java_strip(" x ") == "x"  # LS is Java whitespace
+        assert S.java_trim(" \x1f x \x00") == "x"
+        assert S.java_trim(" x") == " x"
+
 
 # --- rollup ladder (ProcessOcr.java:185-217) --------------------------------
 

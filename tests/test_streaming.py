@@ -34,6 +34,39 @@ def test_stream_matches_batch_oracle(spark, tmp_path):
     assert len(store.snapshots()) >= 1
 
 
+def test_replayed_micro_batch_is_deduped(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a crash-replay by deleting
+    the streaming checkpoint and re-running the stream over the same
+    input.  Every batch re-runs under the same batch_id/run_id and the
+    idempotent commit must skip it — no duplicate (conv_id, turn_idx)."""
+    import shutil
+
+    pdf = G.transcripts_pandas(4, hot_factor=2, include_oversize=False)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    input_dir = str(tmp_path / "replay-in")
+    sdf.repartition(2).write.parquet(input_dir)
+
+    store = DirCheckpointStore(str(tmp_path / "replay-store"))
+    ckpt = str(tmp_path / "replay-ckpt")
+    q = stream_extract(spark, input_dir, store, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+    n_rows = store.results(spark).count()
+    n_snaps = len(store.snapshots())
+    assert n_rows == len(pdf)
+
+    # replay: wipe the source-offset checkpoint, keep the store
+    shutil.rmtree(ckpt)
+    q2 = stream_extract(spark, input_dir, store, ckpt, trigger_available_now=True)
+    q2.awaitTermination(120)
+
+    assert len(store.snapshots()) == n_snaps  # replayed appends skipped
+    results = store.results(spark)
+    assert results.count() == n_rows
+    assert (
+        results.select("conv_id", "turn_idx").distinct().count() == n_rows
+    ), "replay introduced duplicate keys"
+
+
 def test_windowed_rollup_with_watermark(spark, tmp_path):
     """Watermarked windowed rollup: append mode emits only finalized
     windows; counts match the batch ladder per (conv, window)."""

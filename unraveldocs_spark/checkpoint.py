@@ -62,6 +62,20 @@ class DirCheckpointStore:
             and os.path.exists(os.path.join(self.snap_dir, d, "_manifest.json"))
         )
 
+    def committed_run_ids(self) -> set[str]:
+        """run_ids of all committed snapshots (from their manifests)."""
+        out: set[str] = set()
+        for snap in self.snapshots():
+            with open(os.path.join(self.snap_dir, snap, "_manifest.json")) as f:
+                out.add(json.load(f).get("run_id"))
+        return out
+
+    def has_run(self, run_id: str) -> bool:
+        """True if a committed snapshot already carries ``run_id`` — the
+        idempotent-foreachBatch dedup primitive (a replayed micro-batch
+        re-appends under the same run_id and must be skipped)."""
+        return run_id in self.committed_run_ids()
+
     def _next_snapshot_id(self) -> str:
         # consider every snap-* directory, committed or not: a crashed
         # (unmanifested) snapshot must not block future appends by
@@ -137,6 +151,13 @@ class IcebergCheckpointStore:
         self.results_table = results_table
         self.lineage_table = lineage_table
 
+    def has_run(self, run_id: str) -> bool:
+        """Production path: check the snapshot-summary property
+        ('run-id' stamped via commit properties) on the table's snapshot
+        log — the standard idempotent-foreachBatch pattern on Iceberg.
+        Unreachable in this sandbox (no Iceberg jar)."""
+        raise NotImplementedError("requires an Iceberg catalog")
+
     def append(self, results: DataFrame, lineage: DataFrame | None = None,
                run_id: str | None = None) -> str:
         results.writeTo(self.results_table).append()
@@ -166,16 +187,26 @@ def resume_filter(
     anti-join only against the partially-complete remainder.  At 10^12
     turns this shrinks the right side of the expensive (conv_id, turn_idx)
     anti-join from every completed key to only the keys of interrupted
-    conversations.  Input drift is safe: a conversation that gained or
-    lost turns since the snapshot fails the count equality and falls back
-    to the key-level path."""
+    conversations.
+
+    A conversation counts as complete only when every INPUT key has a
+    matching done key (semi-join before the count, not a raw done count):
+    raw counts would let net-zero input drift — one turn added, another
+    removed — pass the equality and silently skip the new turn forever.
+    With the semi-join, any unprocessed input key makes matched < total
+    and the conversation falls through to the key-level anti-join."""
     from pyspark.sql import functions as F
 
     done = store.completed_keys(spark)
     if not two_phase:
         return transcripts.join(done, KEYS, "left_anti")
 
-    done_counts = done.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_done_n"))
+    input_keys = transcripts.select(*KEYS)
+    done_counts = (
+        done.join(input_keys, KEYS, "left_semi")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_done_n"))
+    )
     input_counts = transcripts.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("_total_n")
     )

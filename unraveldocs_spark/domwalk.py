@@ -22,6 +22,11 @@ Graft additions (north-star mandated, deterministic):
 - a block with link density > 0.66 (chars contributed by <a> descendants /
   total chars) and fewer than 20 words is dropped as link-list boilerplate
   (Boilerpipe/Readability-style link-density rule);
+- a block with link density > 0.33 AND text density < 4 words per
+  80-char wrapped line is dropped (the Boilerpipe shallow-text-feature
+  pair: text density + link density — Kohlschutter et al., WSDM'10).
+  This catches LARGE link farms that pass the <20-words gate above;
+  the link-density gate guarantees plain prose is never dropped;
 - <pre>/<code> blocks are tagged kind="code".
 
 Spans are (start, end, kind) offsets into the emitted text, blocks joined
@@ -32,7 +37,13 @@ from __future__ import annotations
 
 import re
 
-from .htmldom import Element, TextNode, parse_body_fragment
+from .htmldom import (
+    DATA_ELEMENTS,
+    Element,
+    TextNode,
+    java_trim,
+    parse_body_fragment,
+)
 
 HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 BOILERPLATE_CONTAINERS = frozenset(("nav", "header", "footer", "aside", "form"))
@@ -40,6 +51,11 @@ CODE_TAGS = frozenset(("pre", "code"))
 
 LINK_DENSITY_THRESHOLD = 0.66
 LINK_DENSITY_MIN_WORDS = 20
+
+# text-density rule (Boilerpipe-style): words per 80-char wrapped line
+TEXT_DENSITY_WRAP_CHARS = 80
+TEXT_DENSITY_THRESHOLD = 4.0
+TEXT_DENSITY_LINK_GATE = 0.33
 
 _PLAIN_SPLIT_RE = re.compile(r"\r?\n")
 
@@ -94,8 +110,19 @@ def _is_boilerplate_block(text: str, link_chars: int) -> bool:
     total = len(text)
     if total == 0:
         return True
-    if link_chars / total > LINK_DENSITY_THRESHOLD and len(text.split()) < LINK_DENSITY_MIN_WORDS:
+    link_density = link_chars / total
+    n_words = len(text.split())
+    # link-list rule: mostly-link, short blocks (nav strips, footers)
+    if link_density > LINK_DENSITY_THRESHOLD and n_words < LINK_DENSITY_MIN_WORDS:
         return True
+    # text-density rule: link-laden blocks averaging under
+    # TEXT_DENSITY_THRESHOLD words per wrapped line — catches large link
+    # farms (>= 20 words of anchor text) the rule above lets through.
+    # The link gate means zero-link prose can never be dropped.
+    if link_density > TEXT_DENSITY_LINK_GATE:
+        lines = max(1, -(-total // TEXT_DENSITY_WRAP_CHARS))
+        if n_words / lines < TEXT_DENSITY_THRESHOLD:
+            return True
     return False
 
 
@@ -105,26 +132,31 @@ def _process_element(el: Element, blocks: list[tuple[str, str]]) -> None:
     tag = el.tag
     if tag in BOILERPLATE_CONTAINERS:
         return
+    if tag in DATA_ELEMENTS:
+        # script/style content is raw data (jsoup DataNode), never text —
+        # matches Element.text()'s skip; the sanitizer removes these
+        # elements anyway on the main path
+        return
     if tag in HEADING_TAGS:
         text, links = _render_inline(el)
-        text = text.strip()
+        text = java_trim(text)
         if text and not _is_boilerplate_block(text, links):
             blocks.append((KIND_HEADING, text))
     elif tag == "p":
         text, links = _render_inline(el)
-        text = text.strip()
+        text = java_trim(text)
         if text and not _is_boilerplate_block(text, links):
             blocks.append((KIND_PARAGRAPH, text))
     elif tag in ("ul", "ol"):
         for li in el.child_elements():
             if li.tag == "li":
                 text, links = _render_inline(li)
-                text = text.strip()
+                text = java_trim(text)
                 if text and not _is_boilerplate_block(text, links):
                     blocks.append((KIND_LIST_ITEM, text))
     elif tag in CODE_TAGS:
         text, links = _render_inline(el)
-        text = text.strip()
+        text = java_trim(text)
         if text:
             blocks.append((KIND_CODE, text))
     else:
@@ -134,7 +166,7 @@ def _process_element(el: Element, blocks: list[tuple[str, str]]) -> None:
                 _process_element(child, blocks)
         else:
             text, links = _render_inline(el)
-            text = text.strip()
+            text = java_trim(text)
             if text and not _is_boilerplate_block(text, links):
                 blocks.append((KIND_OTHER, text))
 
@@ -150,9 +182,9 @@ def html_blocks_from_body(body: Element) -> list[tuple[str, str]]:
     for el in body.child_elements():
         _process_element(el, blocks)
     # text nodes directly under body (fragment without a wrapper element)
-    stray = "".join(
-        c.text() for c in body.children if isinstance(c, TextNode)
-    ).strip()
+    stray = java_trim(
+        "".join(c.text() for c in body.children if isinstance(c, TextNode))
+    )
     if stray:
         blocks.append((KIND_PARAGRAPH, stray))
     return blocks

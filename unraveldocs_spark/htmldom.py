@@ -98,15 +98,27 @@ class Element(Node):
                     walk(child)
 
         walk(self)
-        return normalize_whitespace("".join(parts)).strip()
+        return java_trim(normalize_whitespace("".join(parts)))
 
 
-_WS_RUN_RE = re.compile(r"\s+")
+# jsoup StringUtil.isWhitespace: exactly space/tab/LF/FF/CR — NBSP
+# (U+00A0, produced by &nbsp; after entity unescape) is NOT collapsible
+# and must survive into extracted text, unlike Python's Unicode-aware \s
+_WS_RUN_RE = re.compile(r"[ \t\n\f\r]+")
+
+# Java String.trim(): strips chars <= U+0020 only (so NBSP and other
+# Unicode spaces are preserved, unlike Python str.strip())
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+
+
+def java_trim(text: str) -> str:
+    """Java String.trim(): strip leading/trailing chars <= U+0020."""
+    return text.strip(_JAVA_TRIM_CHARS)
 
 
 def normalize_whitespace(text: str) -> str:
     """jsoup StringUtil.normaliseWhitespace: collapse whitespace runs
-    (space, tab, newline, form feed, CR) to single spaces."""
+    (space, tab, newline, form feed, CR — ASCII only) to single spaces."""
     return _WS_RUN_RE.sub(" ", text)
 
 
@@ -201,9 +213,12 @@ _NONTAG_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
+# stdlib set_cdata_mode (html/parser.py:122-124) only stops raw text at a
+# COMPLETE matching end tag r'</\s*{tag}\s*>' — '</scripty>', '</script
+# extra>' and an unterminated '</script' all stay INSIDE the raw text
 _CDATA_END = {
-    "script": re.compile(r"</\s*script", re.IGNORECASE),
-    "style": re.compile(r"</\s*style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
 
 _STARTTAG_NEXT_INCOMPLETE = frozenset(
@@ -264,17 +279,18 @@ def _handle_starttag_at(data: str, lt: int, builder: "_TreeBuilder") -> int:
         return endpos
     builder.handle_starttag(tag, attrs)
     if tag in DATA_ELEMENTS:
-        # raw-text content: no entity conversion, ends at the matching
-        # close tag (html.parser cdata mode); UNTERMINATED raw text is
-        # dropped, as the stdlib drops partial cdata at end of input
+        # raw-text content: no entity conversion, ends only at a COMPLETE
+        # matching close tag (stdlib cdata mode, parser.py:124); a partial
+        # or non-matching close tag stays inside the raw text, and
+        # UNTERMINATED raw text is dropped at end of input (the
+        # `not self.cdata_elem` guard in goahead, parser.py:244)
         endm = _CDATA_END[tag].search(data, endpos)
         if endm is None:
             return len(data)
         if endm.start() > endpos:
             builder.handle_data(data[endpos : endm.start()])
-        close = data.find(">", endm.start())
         builder.handle_endtag(tag)
-        return (close + 1) if close != -1 else len(data)
+        return endm.end()
     return endpos
 
 
@@ -368,6 +384,7 @@ __all__ = [
     "parse_body_fragment",
     "serialize",
     "normalize_whitespace",
+    "java_trim",
     "unescape",
     "VOID_ELEMENTS",
     "DATA_ELEMENTS",

@@ -55,8 +55,10 @@ RULE_PAGES_OCR_FALLBACK = "pages_ocr_fallback"
 RULE_HTML = "html"
 RULE_PLAIN = "plain"
 RULE_VISION = "vision"
+RULE_LAYOUT = "layout"
 
 ALL_RULES = (
+    RULE_LAYOUT,
     RULE_ERROR_NO_DATA,
     RULE_ERROR_OVERSIZE,
     RULE_ERROR_PAGE_SELECTION,
@@ -108,8 +110,8 @@ def extract_turn(role: str | None, tool: str | None, text: str | None) -> Extrac
     for one transcript turn."""
     try:
         # 1. validity — OcrRequest.isValid (OcrRequest.java:132-134) via
-        #    TesseractOcrProvider.java:64-69
-        if text is None or text.strip() == "":
+        #    TesseractOcrProvider.java:64-69; blank per Java isBlank()
+        if text is None or S.java_is_blank(text):
             return _failed(S.ERR_NO_DATA, RULE_ERROR_NO_DATA)
 
         # 2. size cap — FileSize.java:7 / OcrProperties.java:47 (10 MB);
@@ -146,6 +148,21 @@ def extract_turn(role: str | None, tool: str | None, text: str | None) -> Extrac
                     status=S.STATUS_COMPLETED,
                     content_format=FORMAT_MARKDOWN,
                     rule=RULE_VISION,
+                )
+            if env.kind == "layout":
+                # positioned-run layout parse (pdfminer-style line/span
+                # clustering — pdflayout.py; north-star layout half of
+                # PdfTextExtractor.java:53-143's extraction). Malformed
+                # runs raise and become row-level FAILED below.
+                from .pdflayout import extract_layout
+
+                extracted, spans = extract_layout(env.runs or [])
+                return ExtractionResult(
+                    extracted_text=extracted,
+                    spans=spans,
+                    status=S.STATUS_COMPLETED,
+                    content_format=FORMAT_MARKDOWN,
+                    rule=RULE_LAYOUT,
                 )
             if env.kind != "pages":
                 return _failed(

@@ -17,6 +17,42 @@ import re
 from dataclasses import dataclass, field
 
 # ---------------------------------------------------------------------------
+# Java whitespace semantics (Character.isWhitespace / String.strip / trim)
+#
+# Java Character.isWhitespace differs from Python str.isspace: it EXCLUDES
+# the non-breaking spaces (U+00A0, U+2007, U+202F) and NEL (U+0085), all of
+# which Python treats as whitespace.  String.isBlank()/strip() are built on
+# isWhitespace; String.trim() strips chars <= U+0020 only.  The reference
+# uses all three, so extraction must too.
+# ---------------------------------------------------------------------------
+
+# Character.isWhitespace: \\t \\n \\x0B \\f \\r \\x1C-\\x20, space
+# separators (Zs) except the non-breaking ones (U+00A0, U+2007, U+202F),
+# plus the line/paragraph separators (U+2028, U+2029)
+_JAVA_WS_CLASS = (
+    "\\t\\n\\x0b\\f\\r\\x1c-\\x20"
+    "\\u1680\\u2000-\\u2006\\u2008-\\u200a\\u2028\\u2029\\u205f\\u3000"
+)
+_JAVA_BLANK_RE = re.compile(f"[{_JAVA_WS_CLASS}]*\\Z")
+_JAVA_STRIP_RE = re.compile(f"^[{_JAVA_WS_CLASS}]+|[{_JAVA_WS_CLASS}]+$")
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+
+
+def java_is_blank(text: str) -> bool:
+    """Java String.isBlank(): every char is Character.isWhitespace."""
+    return _JAVA_BLANK_RE.match(text) is not None
+
+
+def java_strip(text: str) -> str:
+    """Java String.strip(): strip Character.isWhitespace from both ends."""
+    return _JAVA_STRIP_RE.sub("", text)
+
+
+def java_trim(text: str) -> str:
+    """Java String.trim(): strip chars <= U+0020 from both ends."""
+    return text.strip(_JAVA_TRIM_CHARS)
+
+# ---------------------------------------------------------------------------
 # Page selection — mirrors SRC/ocrprocessing/dto/request/PdfPageRange.java
 # ---------------------------------------------------------------------------
 
@@ -112,17 +148,17 @@ def direct_page_segments(page_texts: list, pages_to_process: list[int]) -> list[
     """PdfTextExtractor.extractDirectText (PdfTextExtractor.java:95-114).
 
     Pages processed in the given (ascending) 0-indexed order.  A page that
-    is None or blank contributes nothing — not even a separator (the
-    header at line 107 is only appended when the page passed the blank
-    check at 105 and the accumulator is non-empty at 106).  Each
-    contributing page's text is ``strip()``-ed (line 109; Java
-    String.strip and Python str.strip are both Unicode-aware).
+    is None or Java-blank contributes nothing — not even a separator (the
+    header at line 107 is only appended when the page passed the
+    ``isBlank`` check at 105 and the accumulator is non-empty at 106).
+    Each contributing page's text is Java-``strip()``-ed (line 109;
+    Character.isWhitespace-based, so NBSP survives).
     """
     segments: list[tuple[int, str]] = []
     for page_index in pages_to_process:
         page_text = page_texts[page_index]
-        if page_text is not None and page_text.strip() != "":
-            segments.append((page_index + 1, page_text.strip()))
+        if page_text is not None and not java_is_blank(page_text):
+            segments.append((page_index + 1, java_strip(page_text)))
     return segments
 
 
@@ -141,7 +177,7 @@ def ocr_page_segments(ocr_page_texts: list, pages_to_process: list[int]) -> list
     accumulated = False
     for page_index in pages_to_process:
         page_text = ocr_page_texts[page_index]
-        stripped = "" if page_text is None else page_text.strip()
+        stripped = "" if page_text is None else java_strip(page_text)
         if not accumulated and stripped == "":
             # appends "" with no header: accumulator stays empty
             continue
@@ -183,7 +219,7 @@ def extract_pdf_like(
     pages_to_process = effective_pages(start_page, end_page, select_pages, total_pages)
     direct_segments = direct_page_segments(pages, pages_to_process)
     direct, spans = _join_page_segments(direct_segments)
-    if direct.strip() != "":
+    if not java_is_blank(direct):  # !directText.isBlank(), line 68
         return direct, spans, False
     if ocr_pages is None:
         ocr_pages = [None] * total_pages
@@ -196,19 +232,20 @@ def extract_pdf_like(
 # mirrors SRC/ai/service/AiClassificationService.java:152-186
 # ---------------------------------------------------------------------------
 
-_FENCE_OPEN_RE = re.compile(r"^```(?:json)?\s*")
-_FENCE_CLOSE_RE = re.compile(r"\s*```$")
+# Java \s in the reference's replaceAll is ASCII-only
+_FENCE_OPEN_RE = re.compile(r"^```(?:json)?[ \t\n\x0B\f\r]*")
+_FENCE_CLOSE_RE = re.compile(r"[ \t\n\x0B\f\r]*```$")
 
 CLASSIFY_DEFAULTS = ("other", ["unclassified"], 0.0)
 
 
 def strip_code_fences(text: str) -> str:
     """The fence-strip step of parseClassificationResponse
-    (AiClassificationService.java:155-159): ``strip()`` the whole string;
-    if it startswith ``` remove a leading ```` ```/```json ```` fence and a
-    trailing ```` ``` ```` fence (single replacement each, mirroring
-    Java replaceAll on an anchored pattern)."""
-    cleaned = text.strip()
+    (AiClassificationService.java:155-159): Java ``strip()`` the whole
+    string; if it startswith ``` remove a leading ```` ```/```json ````
+    fence and a trailing ```` ``` ```` fence (single replacement each,
+    mirroring Java replaceAll on an anchored ASCII-``\\s`` pattern)."""
+    cleaned = java_strip(text)
     if cleaned.startswith("```"):
         cleaned = _FENCE_OPEN_RE.sub("", cleaned, count=1)
         cleaned = _FENCE_CLOSE_RE.sub("", cleaned, count=1)
@@ -281,10 +318,10 @@ ERR_UNSUPPORTED = "Unsupported payload kind"  # FileType.java allowlist analog
 def split_tags(tags: str | None) -> list[str]:
     """aiTags comma-join inverse (GetOcrDataImpl.java:65-71 /
     UpdateOcrContentImpl.buildFileResultData:137-143):
-    split(',') -> trim -> drop empties.  None/blank -> []."""
-    if tags is None or tags.strip() == "":
+    isBlank guard -> split(',') -> String::trim -> drop empties."""
+    if tags is None or java_is_blank(tags):
         return []
-    return [t for t in (p.strip() for p in tags.split(",")) if t != ""]
+    return [t for t in (java_trim(p) for p in tags.split(",")) if t != ""]
 
 
 def text_preview(text: str | None, limit: int = 200) -> str | None:
@@ -311,20 +348,22 @@ def sanitize_error_type(error: str | None, cap: int = 50) -> str:
     return out[:cap]
 
 
-_WS_SPLIT_RE = re.compile(r"\s+")
+# Java regex \s is ASCII-only: [ \t\n\x0B\f\r]
+_JAVA_RE_WS_SPLIT = re.compile(r"[ \t\n\x0B\f\r]+")
 
 
 def word_count(text: str | None) -> int:
-    """OcrResult.getWordCount (OcrResult.java:83-88): Java
-    ``text.trim().split("\\s+").length`` with empty/None -> 0.
-    Java split on an empty trimmed string yields [""] (length 1), but the
-    reference guards with isEmpty() first and returns 0."""
-    if text is None:
+    """OcrResult.getWordCount (OcrResult.java:83-88): isBlank() guard,
+    then ``text.split("\\s+").length`` on the UNTRIMMED text — a leading
+    whitespace run contributes one empty token (' a b' -> 3), trailing
+    empty tokens are removed (Java split limit 0), and Java ``\\s`` is
+    ASCII-only so NBSP does NOT split words."""
+    if text is None or java_is_blank(text):
         return 0
-    trimmed = text.strip()
-    if trimmed == "":
-        return 0
-    return len(_WS_SPLIT_RE.split(trimmed))
+    tokens = _JAVA_RE_WS_SPLIT.split(text)
+    while tokens and tokens[-1] == "":
+        tokens.pop()
+    return len(tokens)
 
 
 def char_count(text: str | None) -> int:
@@ -373,6 +412,7 @@ class Envelope:
     start_page: int | None = None
     end_page: int | None = None
     select_pages: list | None = None
+    runs: list | None = None  # F10 positioned text runs (pdflayout.py)
 
 
 def try_parse_envelope(text: str):
@@ -397,6 +437,7 @@ def try_parse_envelope(text: str):
             start_page=obj.get("start_page"),
             end_page=obj.get("end_page"),
             select_pages=obj.get("select_pages"),
+            runs=obj.get("runs"),
         )
     except (ValueError, TypeError):
         return None

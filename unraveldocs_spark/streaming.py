@@ -6,9 +6,15 @@ batch is the primary path.  This module exists for deployments that want
 the same extraction semantics applied incrementally: a file/Kafka stream
 of transcript turns flows through the identical Arrow-batched extraction
 stage, and each micro-batch is committed through the same snapshot store
-as the batch pipeline (exactly-once via checkpoint + atomic snapshot
-publish, the streaming analog of the reference's manual-ack consumer,
-OcrMessageListener.java:32-59)."""
+as the batch pipeline (the streaming analog of the reference's manual-ack
+consumer, OcrMessageListener.java:32-59).
+
+Delivery semantics: foreachBatch is at-least-once — a crash after
+``store.append`` but before Spark commits the streaming checkpoint
+replays the micro-batch.  The sink is made effectively-once by an
+idempotent commit: each batch appends under the deterministic run_id
+``stream-batch-{batch_id}`` and a replayed batch whose run_id is already
+committed is skipped (the standard idempotent-foreachBatch pattern)."""
 
 from __future__ import annotations
 
@@ -29,7 +35,9 @@ def stream_extract(
 
     Each micro-batch runs the same extract_stage and appends one snapshot
     to ``store``; Spark's streaming checkpoint (source offsets) plus the
-    store's atomic publish give end-to-end exactly-once.
+    run_id-keyed idempotent append make replayed batches no-ops, so the
+    committed results are duplicate-free even though foreachBatch itself
+    is at-least-once.
     """
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
@@ -39,7 +47,13 @@ def stream_extract(
     extracted = extract_stage(stream)
 
     def commit_batch(batch_df, batch_id: int):
-        store.append(batch_df, lineage=None, run_id=f"stream-batch-{batch_id}")
+        run_id = f"stream-batch-{batch_id}"
+        # idempotent replay guard: a micro-batch that crashed between
+        # store.append and the streaming-checkpoint commit re-runs here
+        # with the same batch_id — skip if its snapshot already committed
+        if store.has_run(run_id):
+            return
+        store.append(batch_df, lineage=None, run_id=run_id)
 
     writer = (
         extracted.writeStream.foreachBatch(commit_batch)
