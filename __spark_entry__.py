@@ -47,6 +47,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        name: spec["sql"] for name, spec in _ALL.items() if spec.get("sql") is not None
-    }
+    out: dict[str, str] = {}
+    for name, spec in _ALL.items():
+        sql = spec.get("sql")
+        if sql is None and spec.get("sql_fn") is not None:
+            sql = spec["sql_fn"]()
+        if sql is not None:
+            out[name] = sql
+    return out

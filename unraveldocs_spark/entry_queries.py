@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from .extract import extract_stage
 from .pipeline import salted_repartition
+from .queries import _sql_java_word_count
 from .rollup import conversation_rollup
 
 
@@ -55,7 +56,7 @@ def q_extract_turns(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx")
 
 
-SQL_EXTRACT_TURNS = """
+SQL_EXTRACT_TURNS = f"""
 WITH t AS (
   SELECT source AS conv_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS turn_idx,
@@ -63,16 +64,20 @@ WITH t AS (
               WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
          text
   FROM documents
+), e AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN role = 'tool'
+              THEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))
+              ELSE text END AS extracted_text
+  FROM t
 )
-SELECT conv_id, turn_idx,
-       CASE WHEN role = 'tool' THEN trim(text) ELSE text END AS extracted_text,
+SELECT conv_id, turn_idx, extracted_text,
        'COMPLETED' AS status,
        'MARKDOWN' AS content_format,
        CASE WHEN role = 'tool' THEN 'tool_fence' ELSE 'plain' END AS rule,
-       CAST(length(CASE WHEN role = 'tool' THEN trim(text) ELSE text END) AS INT) AS n_chars,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_words
-FROM t ORDER BY conv_id, turn_idx
+       CAST(length(extracted_text) AS INT) AS n_chars,
+       {_sql_java_word_count('extracted_text')} AS n_words
+FROM e ORDER BY conv_id, turn_idx
 """
 
 
@@ -92,18 +97,19 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
-# rows-only entries (non-SQL-expressible; pytest verifies against the
-# pure-Python oracles)
-
 def q_extract_synthetic(spark, sf_dir):
     """Extraction over the full synthetic fixture families (HTML, page
-    envelopes, fences, error rows) — the pytest-gated surface."""
+    envelopes, fences, vision, error rows) through the REAL distributed
+    path; the DuckDB oracle is the sequential pure-Python fixture oracle
+    emitted as a VALUES table (oracle_sql_gen.extract_synthetic_sql) —
+    per-turn text equality, driver-visible."""
     from .generator import transcripts_spark
 
     t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
     return extract_stage(salted_repartition(t, 16)).select(
-        "conv_id", "turn_idx", "status", "rule", "n_chars", "n_words"
-    )
+        "conv_id", "turn_idx", "status", "rule", "extracted_text",
+        "error_message", "n_chars", "n_words",
+    ).orderBy("conv_id", "turn_idx")
 
 
 def q_simhash_near_dupes(spark, sf_dir):
@@ -126,10 +132,27 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_winnow_fingerprints(spark, sf_dir):
+    """Count + mod-1e9+7 checksum of each doc's winnowing fingerprints
+    (the checksum pins the selected hash VALUES, not just how many)."""
     from .textanalysis import fingerprint_stage
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint_stage(d).select("doc_id", "n_fingerprints").orderBy("doc_id")
+    fp_sum = F.aggregate(
+        F.col("fingerprints"),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc + x, F.lit(1_000_000_007)),
+    )
+    return (
+        fingerprint_stage(d)
+        .select("doc_id", "n_fingerprints", fp_sum.alias("fp_sum"))
+        .orderBy("doc_id")
+    )
+
+
+def _cos_e4(df):
+    return df.select(
+        "vec_id", F.round(F.col("cosine") * 10000).cast("bigint").alias("cos_e4")
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -137,7 +160,9 @@ def q_ann_lsh(spark, sf_dir):
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, probe_hamming=5)
+    return _cos_e4(
+        lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, probe_hamming=5)
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -145,9 +170,86 @@ def q_ann_ivf(spark, sf_dir):
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return ivf_topk(
-        e.filter(F.col("vec_id") != 0), qvec, k=10, n_centroids=16, nprobe=6
+    return _cos_e4(
+        ivf_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, n_centroids=16, nprobe=6)
     )
+
+
+def q_pdf_layout(spark, sf_dir):
+    """F10 layout parse end-to-end: positioned-run envelopes are derived
+    deterministically from document tokens (fixed 40-unit x slots, 12-unit
+    line pitch, 0..2 baseline jitter, runs emitted in REVERSE reading
+    order), pushed through the real Arrow-batched extraction stage, and
+    verified against a DuckDB oracle that re-derives the expected lines
+    with window functions — two independent implementations of the
+    clustering rules (pdflayout.py)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)
+    runs = F.reverse(
+        F.transform(
+            toks,
+            lambda tok, i: F.struct(
+                (F.lit(10) + (i % 4) * 40).cast("int").alias("x"),
+                (
+                    F.lit(100)
+                    + F.floor(i / 4).cast("int") * 12
+                    + ((F.col("doc_id") + i) % 3).cast("int")
+                ).cast("int").alias("y"),
+                (F.length(tok) * 6).cast("int").alias("w"),
+                F.lit(10).alias("h"),
+                tok.alias("s"),
+            ),
+        )
+    )
+    envelope = F.concat(
+        F.lit('{"kind":"layout","runs":'), F.to_json(runs), F.lit("}")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    t = d.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        envelope.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    return (
+        extract_stage(salted_repartition(t, 16))
+        .select("conv_id", "turn_idx", "extracted_text", "status", "rule")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+SQL_PDF_LAYOUT = """
+WITH arrd AS (
+  SELECT doc_id, source,
+         (regexp_split_to_array(trim(text), '\\s+'))[1:12] AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, u.i - 1 AS ti, arr[CAST(u.i AS INT)] AS tok
+  FROM arrd, UNNEST(range(1, len(arr) + 1)) AS u(i)
+), runs AS (
+  SELECT doc_id, source, ti // 4 AS line, ti % 4 AS pos, tok,
+         6 * length(tok) AS w
+  FROM toks
+), runs2 AS (
+  SELECT *, MAX(pos) OVER (PARTITION BY doc_id, line) AS maxpos FROM runs
+), lines AS (
+  SELECT doc_id, source, line,
+         string_agg(tok || CASE WHEN pos < maxpos AND 40 - w > 2
+                                THEN ' ' ELSE '' END, '' ORDER BY pos) AS lt
+  FROM runs2 GROUP BY doc_id, source, line
+), doc_text AS (
+  SELECT doc_id, source, string_agg(lt, chr(10) ORDER BY line) AS extracted_text
+  FROM lines GROUP BY doc_id, source
+)
+SELECT source AS conv_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS turn_idx,
+       extracted_text,
+       'COMPLETED' AS status,
+       'layout' AS rule
+FROM doc_text ORDER BY conv_id, turn_idx
+"""
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -166,14 +268,53 @@ def _lang_id_sql() -> str:
     )
 
 
+def _extract_synthetic_sql() -> str:
+    from .oracle_sql_gen import extract_synthetic_sql
+
+    return extract_synthetic_sql(n_convs=30, hot_factor=10, include_oversize=False)
+
+
+def _simhash_sql() -> str:
+    from .oracle_sql_gen import simhash_near_dupes_sql
+
+    return simhash_near_dupes_sql(max_hamming=16)
+
+
+def _winnow_sql() -> str:
+    from .oracle_sql_gen import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql()
+
+
+def _ann_lsh_sql() -> str:
+    from .oracle_sql_gen import ann_lsh_topk_sql
+
+    return ann_lsh_topk_sql(k=10, probe_hamming=5)
+
+
+def _ann_ivf_sql() -> str:
+    from .oracle_sql_gen import ann_ivf_topk_sql
+
+    return ann_ivf_topk_sql(k=10, n_centroids=16, nprobe=6)
+
+
+def _multimodal_sql() -> str:
+    from .oracle_sql_gen import multimodal_decode_sql
+
+    return multimodal_decode_sql()
+
+
+# "sql_fn" entries are generated lazily (extract_synthetic runs the pure
+# oracle over ~800 synthetic turns to build its VALUES table)
 ENTRY_REGISTRY: dict[str, dict] = {
     "extract_turns": {"builder": q_extract_turns, "sql": SQL_EXTRACT_TURNS},
     "extract_rollup": {"builder": q_extract_rollup, "sql": SQL_EXTRACT_ROLLUP},
-    "extract_synthetic": {"builder": q_extract_synthetic, "sql": None},
-    "simhash_near_dupes": {"builder": q_simhash_near_dupes, "sql": None},
+    "extract_synthetic": {"builder": q_extract_synthetic, "sql_fn": _extract_synthetic_sql},
+    "simhash_near_dupes": {"builder": q_simhash_near_dupes, "sql_fn": _simhash_sql},
     "lang_id": {"builder": q_lang_id, "sql": _lang_id_sql()},
-    "winnow_fingerprints": {"builder": q_winnow_fingerprints, "sql": None},
-    "ann_lsh_topk": {"builder": q_ann_lsh, "sql": None},
-    "ann_ivf_topk": {"builder": q_ann_ivf, "sql": None},
-    "multimodal_decode": {"builder": q_multimodal_decode, "sql": None},
+    "pdf_layout": {"builder": q_pdf_layout, "sql": SQL_PDF_LAYOUT},
+    "winnow_fingerprints": {"builder": q_winnow_fingerprints, "sql_fn": _winnow_sql},
+    "ann_lsh_topk": {"builder": q_ann_lsh, "sql_fn": _ann_lsh_sql},
+    "ann_ivf_topk": {"builder": q_ann_ivf, "sql_fn": _ann_ivf_sql},
+    "multimodal_decode": {"builder": q_multimodal_decode, "sql_fn": _multimodal_sql},
 }

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 from .generator import mix64
 
 LSH_BITS = 16
+EMB_DIM = 64  # driver embeddings.parquet dimension (constant across SFs)
 
 
 def _hyperplanes(dim: int, bits: int = LSH_BITS) -> np.ndarray:
