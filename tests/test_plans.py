@@ -69,6 +69,42 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_ngram_jaccard_candidates_use_minhash_bands(self, spark):
+        """The self-join key must include the data-dependent MinHash band
+        key — not a fixed-cardinality block like (lang, len_bucket) that
+        goes O(n^2) at scale (VERDICT r1 item 2)."""
+        from unraveldocs_spark.trainingdata import q_dedup_ngram_jaccard
+
+        plan = plan_of(q_dedup_ngram_jaccard(spark, SF), "simple")
+        assert "band_key" in plan
+        assert "len_bucket" not in plan
+
+    def test_embedding_cosine_candidates_use_signature_bands(self, spark):
+        """Cosine near-dup must join on LSH signature bands, not the
+        fixed-cardinality label column (VERDICT r1 item 2)."""
+        from unraveldocs_spark.trainingdata import q_dedup_embedding_cosine
+
+        plan = plan_of(q_dedup_embedding_cosine(spark, SF), "simple")
+        assert "band_val" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_doc_fingerprint_has_no_per_char_array(self, spark):
+        """The rolling-hash fold must walk bounded substr chunks, never
+        split the whole text into one per-character array (VERDICT r1
+        item 8): split() may only appear applied to substr(...)."""
+        from unraveldocs_spark.trainingdata import q_doc_fingerprint
+
+        plan = plan_of(q_doc_fingerprint(spark, SF), "formatted")
+        assert "substr" in plan
+        import re
+
+        for m in re.finditer(r"split\(", plan):
+            tail = plan[m.end(): m.end() + 30]
+            assert tail.startswith("substr") or tail.startswith("substring"), (
+                "unchunked split over full text: ..." + plan[m.start() - 40 : m.end() + 40]
+            )
+
 
 class TestExtractionPlan:
     def test_salted_partitioning_and_arrow_stage(self, spark):

@@ -241,3 +241,32 @@ class TestIvf:
         a = [r.vec_id for r in ivf_topk(rest, qvec, 10).collect()]
         b = [r.vec_id for r in ivf_topk(rest, qvec, 10).collect()]
         assert a == b and len(a) == 10
+
+
+class TestBandedJaccardVsBlocked:
+    def test_banded_pairs_match_blocked_arithmetic(self, spark):
+        """The banded query's (jac_num, jac_den) must agree with the
+        exhaustive blocked oracle wherever both generate the pair, every
+        banded pair must satisfy the >= 2/10 threshold, and strong
+        duplicates (jaccard >= 0.5) found by the blocked oracle must be
+        recalled by the bands on this deterministic corpus."""
+        from unraveldocs_spark.trainingdata import (
+            q_dedup_ngram_jaccard,
+            q_dedup_ngram_jaccard_blocked,
+        )
+
+        banded = {
+            (r.doc_a, r.doc_b): (r.jac_num, r.jac_den)
+            for r in q_dedup_ngram_jaccard(spark, SF).collect()
+        }
+        blocked = {
+            (r.doc_a, r.doc_b): (r.jac_num, r.jac_den)
+            for r in q_dedup_ngram_jaccard_blocked(spark, SF).collect()
+        }
+        assert banded, "banded query found no pairs at all"
+        for pair, jac in banded.items():
+            assert jac[0] * 10 >= jac[1] * 2
+            if pair in blocked:
+                assert blocked[pair] == jac
+        strong = {p for p, (n, d) in blocked.items() if n * 2 >= d}
+        assert strong <= set(banded), strong - set(banded)

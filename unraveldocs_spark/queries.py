@@ -337,7 +337,13 @@ FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10
 
 def q_paginate_offset(spark, sf_dir):
     """offset/limit pagination via row_number (CustomUserRepositoryImpl
-    .java:115-120) — page 2, size 10, ordered by a unique key."""
+    .java:115-120) — page 2, size 10, ordered by a unique key.
+
+    PARITY-HARNESS SHAPE ONLY: the unpartitioned Window.orderBy funnels
+    every row through one task — fine for a 10-row oracle check, wrong in
+    a pipeline.  At scale use ``orderBy(...).limit(offset+size)`` (top-K
+    fold, what q_topn_recent does) or keyset pagination on the sort key;
+    do not copy this window into production paths."""
     o = _t(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -578,23 +584,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+# OcrResult.getWordCount: isBlank() guard, then split("\\s+") on the
+# UNTRIMMED text — a leading whitespace run adds one empty token, trailing
+# empties are dropped (Java split limit 0).  Equivalently: (count of
+# non-whitespace runs) + (1 if the text starts with whitespace).  Java \s
+# is the ASCII class [ \t\n\x0B\f\r]; the parity queries assume ASCII
+# document text (the Python oracle, semantics.word_count, carries the full
+# Character.isWhitespace fidelity for the extraction path).
+_ASCII_WS = " \\t\\n\\x0B\\f\\r"
+
+
+def _spark_java_word_count(col):
+    blank = col.rlike(f"^[{_ASCII_WS}]*$")
+    runs = F.regexp_count(col, F.lit(f"[^{_ASCII_WS}]+"))
+    leading = F.when(col.rlike(f"^[{_ASCII_WS}]"), F.lit(1)).otherwise(F.lit(0))
+    return F.when(blank, F.lit(0)).otherwise(runs + leading).cast("int")
+
+
+def _sql_java_word_count(expr: str) -> str:
+    ws = " \\t\\n\\x0B\\f\\r"
+    return (
+        f"CAST(CASE WHEN regexp_matches({expr}, '^[{ws}]*$') THEN 0 "
+        f"ELSE len(regexp_extract_all({expr}, '[^{ws}]+')) "
+        f"+ CASE WHEN regexp_matches({expr}, '^[{ws}]') THEN 1 ELSE 0 END "
+        f"END AS INT)"
+    )
+
+
 def q_word_char_counts(spark, sf_dir):
-    """getCharacterCount/getWordCount (OcrResult.java:76-88)."""
+    """getCharacterCount/getWordCount (OcrResult.java:76-88): untrimmed
+    ASCII-\\s split with isBlank guard."""
     d = _t(spark, sf_dir, "documents")
-    trimmed = F.trim(F.col("text"))
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_text"),
-        F.when(trimmed == "", F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
-        .alias("n_words"),
+        _spark_java_word_count(F.col("text")).alias("n_words"),
     ).orderBy("doc_id")
 
 
-SQL_WORD_CHAR_COUNTS = """
+SQL_WORD_CHAR_COUNTS = f"""
 SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+       {_sql_java_word_count('text')} AS n_words
 FROM documents ORDER BY doc_id
 """
 
@@ -889,5 +919,176 @@ REGISTRY.update(
             "builder": q_soft_delete_filter,
             "sql": SQL_SOFT_DELETE_FILTER,
         },
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Relevance-ranked search — deterministic analog of the boosted
+# should-query (DocumentSearchRepository.java:51-66): must term(userId) +
+# should [match(extractedText)^2, match(fileName)^1.5,
+# wildcard(fileName)*q*^1], minimum_should_match 1.
+# ---------------------------------------------------------------------------
+
+_SR_QUERY = "data"
+_SR_LANG = "en"  # userId-analog must-term
+
+
+def q_search_ranked(spark, sf_dir):
+    """Deterministic scoring: 2.0 x term frequency of q in text (the
+    match-clause analog, tf via the replace trick), + 1.5 when q is a
+    '-'-token of the derived file name (match on keyword field), + 1.0
+    when the file name merely contains q (wildcard clause).  min_should_
+    match 1 -> keep score > 0; order by (score desc, doc_id) like the ES
+    _score sort with a deterministic tiebreak.  Score emitted as
+    ROUND(score*100) BIGINT (exact: 2a + 1.5b + c is a multiple of 0.5)."""
+    q = _SR_QUERY
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
+    fname = F.lower(
+        F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))
+    )
+    lt = F.lower(F.col("text"))
+    tf_text = (
+        (F.length(lt) - F.length(F.replace(lt, F.lit(q), F.lit("")))) / F.lit(len(q))
+    ).cast("int")
+    name_token = F.array_contains(F.split(fname, "-"), q).cast("int")
+    name_wild = fname.contains(q).cast("int")
+    score_e2 = (
+        F.lit(200) * tf_text + F.lit(150) * name_token + F.lit(100) * name_wild
+    ).cast("bigint")
+    return (
+        d.select("doc_id", score_e2.alias("score_e2"))
+        .filter(F.col("score_e2") > 0)
+        .orderBy(F.col("score_e2").desc(), F.col("doc_id"))
+    )
+
+
+SQL_SEARCH_RANKED = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(200 * CAST((length(lower(text))
+                          - length(replace(lower(text), '{_SR_QUERY}', '')))
+                         / {len(_SR_QUERY)} AS INT)
+              + 150 * CASE WHEN list_contains(
+                    string_split(lower(source || '-' || CAST(doc_id AS VARCHAR)), '-'),
+                    '{_SR_QUERY}') THEN 1 ELSE 0 END
+              + 100 * CASE WHEN lower(source || '-' || CAST(doc_id AS VARCHAR))
+                           LIKE '%{_SR_QUERY}%' THEN 1 ELSE 0 END AS BIGINT) AS score_e2
+  FROM documents WHERE lang = '{_SR_LANG}'
+)
+SELECT doc_id, score_e2 FROM scored WHERE score_e2 > 0
+ORDER BY score_e2 DESC, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vision metrics — per-turn confidence + detected language
+# (GoogleVisionOcrProvider.java:272-332 via extract.vision_metrics_stage)
+# ---------------------------------------------------------------------------
+
+
+def q_vision_metrics(spark, sf_dir):
+    """Vision payloads constructed deterministically from documents (four
+    response shapes: full-text with 0-2 blocks, full-text + competing
+    annotation, annotation-only, empty), pushed through the REAL
+    vision_metrics_stage (Arrow-batched JSON shaping in Python); the
+    DuckDB oracle computes the expected confidence/language from the same
+    arithmetic — independent of the JSON path."""
+    from .extract import vision_metrics_stage
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 3).cast("int")  # 0..2 blocks
+    mode = (F.col("doc_id") % 4).cast("int")
+
+    def conf_str(i):
+        return F.concat(
+            F.lit('{"confidence":0.'),
+            ((F.col("doc_id") * 7 + i * 13) % 50 + 50).cast("string"),
+            F.lit("}"),
+        )
+
+    blocks = (
+        F.when(k == 0, F.lit(""))
+        .when(k == 1, conf_str(0))
+        .otherwise(F.concat(conf_str(0), F.lit(","), conf_str(1)))
+    )
+    langs = F.when(F.col("doc_id") % 2 == 0, F.lit('["en"]')).otherwise(F.lit("[]"))
+    full_text = F.concat(
+        F.lit('"full_text":{"text":"vision '),
+        F.col("doc_id").cast("string"),
+        F.lit('","blocks":['),
+        blocks,
+        F.lit('],"languages":'),
+        langs,
+        F.lit("}"),
+    )
+    # two-digit hundredths ("0.05", not "0.5") so e4 = score100 * 100
+    ann_score = F.concat(
+        F.lit("0."), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
+    )
+    annotation = F.concat(
+        F.lit('"annotations":[{"description":"ann '),
+        F.col("doc_id").cast("string"),
+        F.lit('","score":'),
+        ann_score,
+        F.lit(',"locale":"'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("es")).otherwise(F.lit("")),
+        F.lit('"}]'),
+    )
+    payload = (
+        F.when(mode == 0, F.concat(F.lit('{"kind":"vision",'), full_text, F.lit("}")))
+        .when(
+            mode == 1,
+            F.concat(
+                F.lit('{"kind":"vision",'), full_text, F.lit(","),
+                F.lit('"annotations":[{"description":"IGNORED","score":0.9,"locale":"fr"}]}'),
+            ),
+        )
+        .when(mode == 2, F.concat(F.lit('{"kind":"vision",'), annotation, F.lit("}")))
+        .otherwise(F.lit('{"kind":"vision"}'))
+    )
+    t = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        payload.alias("text"),
+    )
+    out = vision_metrics_stage(t)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.round(F.col("confidence") * 10000).cast("bigint").alias("confidence_e4"),
+        "language_detected",
+    ).orderBy("doc_id")
+
+
+SQL_VISION_METRICS = """
+WITH src AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INT) AS mode,
+         CAST(doc_id % 3 AS INT) AS k,
+         (doc_id * 7) % 50 + 50 AS c0,
+         (doc_id * 7 + 13) % 50 + 50 AS c1,
+         doc_id % 100 AS score100
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN mode IN (0, 1) AND k = 1 THEN CAST(c0 * 100 AS BIGINT)
+         WHEN mode IN (0, 1) AND k = 2 THEN CAST(50 * (c0 + c1) AS BIGINT)
+         WHEN mode = 1 AND k = 0 THEN 9000
+         WHEN mode = 2 AND score100 > 0 THEN CAST(score100 * 100 AS BIGINT)
+       END AS confidence_e4,
+       CASE
+         WHEN mode IN (0, 1) AND doc_id % 2 = 0 THEN 'en'
+         WHEN mode = 1 THEN 'fr'
+         WHEN mode = 2 AND doc_id % 2 = 0 THEN 'es'
+       END AS language_detected
+FROM src ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "search_ranked": {"builder": q_search_ranked, "sql": SQL_SEARCH_RANKED},
+        "vision_metrics": {"builder": q_vision_metrics, "sql": SQL_VISION_METRICS},
     }
 )

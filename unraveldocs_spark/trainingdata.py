@@ -5,11 +5,13 @@ Scale notes (these run on 100 TB in production):
 - exact dedup is a single hash-groupBy (one shuffle on the digest);
 - MinHash/LSH restricts candidate generation to band-key collisions —
   the self-join is on (band_idx, band_key), never a cross join;
-- n-gram Jaccard bounds its candidate pairs by (lang, length-bucket)
-  blocking before the pair join;
-- cosine near-dup blocks on ``label`` (the IVF-coarse-quantizer analog);
-- brute-force ANN is the correctness baseline; the LSH-bucketed variant
-  in ``similarity.py`` is the scale path.
+- n-gram Jaccard confirms MinHash-band candidates with exact shingle
+  Jaccard (the band key is data-dependent, so candidate volume tracks
+  the real duplicate structure — never O(n^2/#blocks));
+- cosine near-dup confirms random-hyperplane-LSH-band candidates with
+  one dot product over pre-normalized vectors;
+- brute-force ANN is the correctness baseline; the LSH/IVF-bucketed
+  variants in ``similarity.py`` are the scale path.
 
 FP-parity rules: similarity scores are emitted as integers
 (ROUND(x*10^k) AS BIGINT) and set-overlap measures as exact integer
@@ -74,14 +76,21 @@ _DUCK_SHINGLES = (
 
 
 # ---------------------------------------------------------------------------
-# N-gram Jaccard near-dup with (lang, length-bucket) blocking
+# N-gram Jaccard near-dup — candidates from the MinHash LSH bands
 # ---------------------------------------------------------------------------
 
 _JACCARD_NUM = 2  # keep pairs with jaccard >= 2/10
 _JACCARD_DEN = 10
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
+def q_dedup_ngram_jaccard_blocked(spark, sf_dir):
+    """FIXED-CARDINALITY blocking — small-scale test oracle ONLY.
+
+    Blocks on (lang, len_bucket), whose cardinality is data-independent:
+    at 100x the data every block is 100x bigger and the pair join does
+    10,000x the work.  Kept out of the driver registry; pytest uses it to
+    cross-check the exact-Jaccard arithmetic of the banded query below on
+    the pairs both generate."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -110,22 +119,30 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH sh AS (
-  SELECT doc_id, lang, CAST(FLOOR(n_chars / 16) AS BIGINT) AS len_bucket,
-         {_DUCK_SHINGLES.format(c="text")} AS sh
-  FROM documents
-), nz AS (SELECT * FROM sh WHERE len(sh) > 0)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS INT) AS jac_num,
-       CAST(len(a.sh) + len(b.sh)
-            - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS INT) AS jac_den
-FROM nz a JOIN nz b
-  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * {_JACCARD_DEN}
-      >= (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) * {_JACCARD_NUM}
-ORDER BY doc_a, doc_b
-"""
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard >= 2/10 over MinHash-band candidate pairs.
+
+    Candidate generation is the LSH band join (data-DEPENDENT bucket
+    keys: a band key only collides for genuinely similar signatures), so
+    the pair count tracks the real duplicate structure instead of
+    O(n^2/#blocks); exact shingle Jaccard then confirms each candidate
+    with one array_intersect.  Recall below the ~0.2 threshold is
+    governed by the (bands, rows) LSH curve — the trade every
+    production MinHash dedup makes."""
+    cands = _minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.select(
+            "doc_a", "doc_b", inter.alias("jac_num"), union.alias("jac_den")
+        )
+        .filter(F.col("jac_num") * _JACCARD_DEN >= F.col("jac_den") * _JACCARD_NUM)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -152,17 +169,15 @@ def _spark_shingle_hashes(sh_col):
     )
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """Candidate pairs by LSH band collision, confirmed by exact shingle
-    Jaccard — the standard shingle->minhash->band->bucket-join pipeline.
-    At scale: explode to (band_idx, band_key) rows, shuffle on the band
-    key, join within buckets only."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("hs", _spark_shingle_hashes(F.col("sh")))
-    )
+def _minhash_candidate_pairs(d):
+    """shingle-set DataFrame (doc_id, sh) -> deduplicated candidate pairs
+    (doc_a, doc_b, sh_a, sh_b) whose MinHash signatures collide in at
+    least one LSH band.  The join key (band_idx, band_key) is
+    data-dependent: bucket sizes track the corpus's actual similarity
+    structure, never O(n^2/#blocks).  Shared by q_dedup_minhash_lsh and
+    q_dedup_ngram_jaccard."""
+    d = d.withColumn("hs", _spark_shingle_hashes(F.col("sh")))
+
     def _min_hash(j):
         # one-arg lambda: pyspark would bind a 2nd arg to the array index
         a_j, b_j = _MH_A[j], _MH_B[j]
@@ -175,6 +190,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
     mins = [_min_hash(j) for j in range(_MH_K)]
     sigs = d.select("doc_id", "sh", *mins)
+    # The shingle array RIDES THROUGH the band explode here (4x data)
+    # rather than joining back per side: MinHash band keys are
+    # 42-bit-hash tuples, so buckets — and candidate pairs — are rare,
+    # and re-deriving the shingles+minhashes for two join-back branches
+    # costs far more than shuffling them once (measured 4s vs 52s at
+    # sf0.1).  Contrast q_dedup_embedding_cosine, whose 4-bit band values
+    # make candidates dense: there the narrow-candidates + join-back
+    # shape wins.
     bands = sigs.select(
         "doc_id",
         "sh",
@@ -198,7 +221,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).select("doc_id", "sh", "band.band_idx", "band.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -213,6 +236,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Candidate pairs by LSH band collision, confirmed by exact shingle
+    Jaccard — the standard shingle->minhash->band->bucket-join pipeline.
+    At scale: explode to (band_idx, band_key) rows, shuffle on the band
+    key, join within buckets only."""
+    cands = _minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return cands.select(
@@ -220,7 +255,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-def _duck_minhash_sql() -> str:
+def _duck_minhash_sql(threshold: bool = False) -> str:
     min_exprs = ",\n         ".join(
         f"list_min(list_transform(hs, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P})) AS m{j}"
         for j in range(_MH_K)
@@ -234,6 +269,13 @@ def _duck_minhash_sql() -> str:
             ),
         )
         for b in range(_MH_BANDS)
+    )
+    where = (
+        f"WHERE len(list_filter(sh_a, x -> list_contains(sh_b, x))) * {_JACCARD_DEN}"
+        f" >= (len(sh_a) + len(sh_b)"
+        f" - len(list_filter(sh_a, x -> list_contains(sh_b, x)))) * {_JACCARD_NUM}\n"
+        if threshold
+        else ""
     )
     return f"""
 WITH sh AS (
@@ -258,15 +300,19 @@ SELECT doc_a, doc_b,
        CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS INT) AS jac_num,
        CAST(len(sh_a) + len(sh_b)
             - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS INT) AS jac_den
-FROM cands ORDER BY doc_a, doc_b
+FROM cands
+{where}ORDER BY doc_a, doc_b
 """
 
 
 SQL_DEDUP_MINHASH_LSH = _duck_minhash_sql()
+# same banded candidate generation, thresholded at jaccard >= 2/10 —
+# mirrors q_dedup_ngram_jaccard
+SQL_DEDUP_NGRAM_JACCARD = _duck_minhash_sql(threshold=True)
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup, blocked by label (IVF-coarse analog)
+# Embedding-cosine near-dup — candidates from random-hyperplane LSH bands
 # ---------------------------------------------------------------------------
 
 def _spark_cosine(a, b):
@@ -283,42 +329,81 @@ def _spark_cosine(a, b):
 _COS_THRESHOLD = 0.35
 
 
+# LSH band layout over the 16-bit hyperplane signature: 4 bands x 4 bits.
+# Candidates must share >=1 band — a data-dependent key (bucket sizes
+# track actual vector similarity), unlike the fixed-cardinality label
+# blocking this replaced, which went O(n^2/#labels) at scale.
+_EC_BANDS = 4
+_EC_BAND_BITS = 4
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
-    # pre-normalize once per row (cheap, before the pair join) so the
-    # per-pair work is a single dot product
-    e = _t(spark, sf_dir, "embeddings").select(
+    """Cosine near-dup >= 0.35 over LSH-banded candidates.
+
+    signature_stage (numpy over Arrow batches) computes the 16-bit
+    random-hyperplane signature once per vector; candidates are pairs
+    colliding in >=1 of the 4-bit bands; the confirm step is one dot
+    product over pre-normalized vectors.  Recall below the threshold
+    follows the random-hyperplane collision curve (P[bit match] =
+    1 - angle/pi) — tunable via bands/bits like every production
+    embedding dedup."""
+    from .similarity import EMB_DIM, signature_stage
+
+    e = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = (
+        e.select("vec_id", dv.alias("v"), norm.alias("nrm"))
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit"),
+        )
+    )
+    sigs = signature_stage(e, dim=EMB_DIM).select("vec_id", "signature")
+    mask = (1 << _EC_BAND_BITS) - 1
+    # candidate generation stays NARROW (ids + band key only): the 64-dim
+    # vectors never ride through the explode or the pair dedup shuffle —
+    # they join back per side after the candidate set is deduplicated
+    bands = sigs.select(
         "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double")
-            / F.sqrt(
-                F.aggregate(
-                    F.transform(F.col("embedding"), lambda y: y.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, y: acc + y * y,
-                )
-            ),
-        ).alias("unit"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a.unit"), F.col("b.unit"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("signature"), b * _EC_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(_EC_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand_ids = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("_cos"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ua = unit.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("unit_a"))
+    ub = unit.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("unit_b"))
+    cands = cand_ids.join(ua, "vec_a").join(ub, "vec_b")
+    cos = F.aggregate(
+        F.zip_with(F.col("unit_a"), F.col("unit_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.select("vec_a", "vec_b", cos.alias("_cos"))
         .filter(F.col("_cos") >= _COS_THRESHOLD)
         .select(
             "vec_a",
@@ -329,23 +414,43 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-SQL_DEDUP_EMBEDDING_COSINE = f"""
+def _duck_embedding_cosine_sql() -> str:
+    from .oracle_sql_gen import lsh_signature_sql_expr
+
+    band_structs = ", ".join(
+        "{'band_idx': %d, 'band_val': (sig >> %d) & %d}"
+        % (b, b * _EC_BAND_BITS, (1 << _EC_BAND_BITS) - 1)
+        for b in range(_EC_BANDS)
+    )
+    return f"""
 WITH dv AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), u AS (
-  SELECT vec_id, label,
-         list_transform(v, x -> x / sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum'))) AS unit
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum'))) AS unit,
+         {lsh_signature_sql_expr('v')} AS sig
   FROM dv
+), bands AS (
+  SELECT vec_id, unit, unnest([{band_structs}], recursive := true) FROM u
+), cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  a.unit AS unit_a, b.unit AS unit_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
 ), pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         list_aggregate(list_transform(list_zip(a.unit, b.unit),
+  SELECT vec_a, vec_b,
+         list_aggregate(list_transform(list_zip(unit_a, unit_b),
                                        p -> p[1] * p[2]), 'sum') AS c
-  FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM cands
 )
 SELECT vec_a, vec_b, CAST(ROUND(c * 10000) AS BIGINT) AS cos_e4
 FROM pairs WHERE c >= {_COS_THRESHOLD} ORDER BY vec_a, vec_b
 """
+
+
+SQL_DEDUP_EMBEDDING_COSINE = _duck_embedding_cosine_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -476,15 +581,33 @@ _FP_MOD = 1_000_000_007
 _FP_BASE = 131
 
 
+_FP_CHUNK = 64
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling polynomial content fingerprint (mod 1e9+7, base 131) — an
-    order-sensitive complement to the md5 exact-dup hash."""
+    order-sensitive complement to the md5 exact-dup hash.
+
+    Memory shape: the fold walks fixed-size substr chunks (outer aggregate
+    over chunk starts, inner over that chunk's <=64 chars), so a 10 MB
+    document never materializes a 10M-element per-character array — the
+    transient arrays are one ~160k-long chunk-start sequence and one
+    64-element chunk at a time."""
     d = _t(spark, sf_dir, "documents")
-    chars = F.filter(F.split(F.col("text"), ""), lambda x: x != "")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_FP_CHUNK)
+    )
     fp = F.aggregate(
-        chars,
+        starts,
         F.lit(0).cast("long"),
-        lambda acc, x: F.pmod(acc * _FP_BASE + F.ascii(x), F.lit(_FP_MOD)),
+        lambda acc, s: F.aggregate(
+            F.filter(
+                F.split(F.col("text").substr(s, F.lit(_FP_CHUNK)), ""),
+                lambda x: x != "",
+            ),
+            acc,
+            lambda a, x: F.pmod(a * _FP_BASE + F.ascii(x), F.lit(_FP_MOD)),
+        ),
     )
     return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
