@@ -102,6 +102,45 @@ class TestBoilerplate:
         assert len(html_blocks(html)) == 1
 
 
+class TestTextDensity:
+    """The Boilerpipe-style text-density rule (words per 80-char wrapped
+    line), gated on link density > 0.33 — north-star 'text-density +
+    link-density heuristics'."""
+
+    def test_large_link_farm_dropped(self):
+        # >= 20 words of anchor text passes the link-list rule, but long
+        # low-word-density anchors (URL-ish tokens) fail text density
+        anchors = "".join(
+            f'<a href="http://x/{i}">download-release-{i:02d}-linux-x86-64</a> '
+            for i in range(20)
+        )
+        html = f"<p>{anchors}</p><p>real body text</p>"
+        assert html_blocks(html) == [("paragraph", "real body text")]
+
+    def test_dense_anchor_text_kept(self):
+        # same link density but high word density (prose-like anchors)
+        words = " ".join(f"w{i}" for i in range(30))
+        html = f'<p><a href="http://a">{words}</a></p>'
+        assert len(html_blocks(html)) == 1
+
+    def test_zero_link_prose_never_dropped(self):
+        # the link gate guarantees long-word prose is untouched
+        html = "<p>supercalifragilisticexpialidocious antidisestablishmentarianism</p>"
+        blocks = html_blocks(html)
+        assert len(blocks) == 1 and blocks[0][0] == "paragraph"
+
+    def test_threshold_boundary(self):
+        from unraveldocs_spark.domwalk import _is_boilerplate_block
+
+        # exactly 4 words/line at ld > 0.33 is KEPT (strict <)
+        text = "a b c d" + " " * 73  # 80 chars -> 1 line, 4 words
+        assert not _is_boilerplate_block(text.rstrip() + " " * 73, 40)
+        # 3 words on one line with ld > 0.33 is dropped
+        assert _is_boilerplate_block("aa bb cc", 5)
+        # same 3 words with no link chars is kept
+        assert not _is_boilerplate_block("aa bb cc", 0)
+
+
 class TestPlainAndJoin:
     def test_plain_split_crlf(self):
         blocks = plain_blocks("a\r\nb\nc")

@@ -33,6 +33,8 @@ def test_every_rule_family_is_pinned(golden):
         "pages_direct",
         "pages_ocr_fallback",
         "tool_fence",
+        "layout",
+        "vision",
         "error_no_data",
         "error_unsupported_kind",
         "error_page_selection",

@@ -187,6 +187,35 @@ def _vision_payload(c: int, t: int) -> str:
     return json.dumps(obj, separators=(",", ":"))
 
 
+def _layout_payload(c: int, t: int) -> str:
+    """F10: positioned text runs for the pdfminer-style layout parse
+    (pdflayout.py).  Lines sit 12 units apart with per-run baseline
+    jitter 0..2 (< LINE_TOL=5, so jitter never splits a line); word gaps
+    alternate between wide (space) and touching (no space); runs are
+    emitted in REVERSE reading order so extraction must actually sort."""
+    n_lines = 1 + _draw(c, t, 210, 4)
+    runs = []
+    for li in range(n_lines):
+        n_toks = 2 + _draw(c, t, 220 + li, 4)
+        x = 10
+        for p in range(n_toks):
+            tok = _WORDS[_draw(c, t, 230 + li * 11 + p, len(_WORDS))]
+            w = 6 * len(tok)
+            runs.append(
+                {
+                    "x": x,
+                    "y": 100 + li * 12 + _draw(c, t, 260 + li * 11 + p, 3),
+                    "w": w,
+                    "h": 10,
+                    "s": tok,
+                }
+            )
+            gap = 4 if _draw(c, t, 290 + li * 11 + p, 4) else 1  # 1 fuses
+            x += w + gap
+    runs.reverse()
+    return json.dumps({"kind": "layout", "runs": runs}, separators=(",", ":"))
+
+
 def _tool_payload(c: int, t: int) -> str:
     body = json.dumps(
         {"result": _words(c, t, 180, 4), "count": _draw(c, t, 181, 1000)},
@@ -215,28 +244,30 @@ def make_turn(conv_idx: int, turn_idx: int, include_oversize: bool = True):
     if include_oversize and conv_idx == 1 and turn_idx == 0:
         return role, "z" * (10 * 1024 * 1024 + 1), None  # F7 oversize
 
-    if fam < 30:
+    if fam < 27:
         text = _plain_payload(conv_idx, turn_idx)
-    elif fam < 50:
+    elif fam < 45:
         text = _html_payload(conv_idx, turn_idx, boilerplate=False)
-    elif fam < 56:
+    elif fam < 51:
         text = _html_payload(conv_idx, turn_idx, boilerplate=True)
-    elif fam < 68:
+    elif fam < 62:
         text = _pages_payload(conv_idx, turn_idx, ocr=False, selection=False)
-    elif fam < 75:
+    elif fam < 69:
         text = _pages_payload(conv_idx, turn_idx, ocr=True, selection=False)
-    elif fam < 82:
+    elif fam < 76:
         text = _pages_payload(conv_idx, turn_idx, ocr=False, selection=True)
-    elif fam < 91:
+    elif fam < 85:
         role = "tool"
         tool = _TOOLS[_draw(conv_idx, turn_idx, 183, len(_TOOLS))]
         text = _tool_payload(conv_idx, turn_idx)
-    elif fam < 94:
+    elif fam < 88:
         text = _markdown_payload(conv_idx, turn_idx)
-    elif fam < 96:
-        text = None if fam == 94 else "   "  # F7 null/blank
-    elif fam < 98:
+    elif fam < 90:
+        text = None if fam == 88 else "   "  # F7 null/blank
+    elif fam < 92:
         text = '{"kind":"audio","data":"AAAA"}'  # F7 unsupported kind
+    elif fam < 97:
+        text = _layout_payload(conv_idx, turn_idx)  # F10
     else:
         text = _vision_payload(conv_idx, turn_idx)  # F9
     return role, text, tool
