@@ -388,3 +388,95 @@ class TestVisionMetrics:
                 expected[(c, t)] = (conf, lang)
         assert got == expected
         assert expected, "smoke tier must contain vision payloads"
+
+
+class TestEditUpsert:
+    def test_edit_lifecycle_preserves_extracted_text(self, spark, tmp_path):
+        """UpdateOcrContentImpl semantics through the store: only
+        COMPLETED rows accept an edit, edited rows keep their original
+        extracted_text, the HTML edit is safelist-sanitized, and a
+        replaced key appears exactly once after the upsert."""
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.edits import ERR_NOT_COMPLETED, apply_edits
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(4, median_turns=6, hot_factor=2,
+                                   include_oversize=False)
+        # guarantee one FAILED row (null text -> ERR_NO_DATA)
+        pdf.loc[len(pdf)] = ["conv-fail", 0, "user", None, None, pdf.ts.iloc[0]]
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / "edit"))
+        run_extraction(spark, sdf, store=store, num_partitions=4)
+        results = store.results(spark)
+
+        completed = results.filter(F.col("status") == "COMPLETED").first()
+        failed = results.filter(F.col("status") == "FAILED").first()
+        assert completed is not None and failed is not None
+
+        edits = spark.createDataFrame(
+            [
+                (completed.conv_id, completed.turn_idx,
+                 '<p onclick="evil()">new <b>text</b></p><script>x</script>',
+                 "HTML", "editor-9"),
+                (failed.conv_id, failed.turn_idx, "nope", "MARKDOWN", "editor-9"),
+                ("conv-none", 999, "ghost", "MARKDOWN", "editor-9"),
+            ],
+            "conv_id string, turn_idx int, edited_content string, "
+            "content_format string, edited_by string",
+        )
+        updated, rejected = apply_edits(results, edits)
+        rej = {(r.conv_id, r.turn_idx): r.edit_error for r in rejected.collect()}
+        assert rej[(failed.conv_id, failed.turn_idx)] == ERR_NOT_COMPLETED.format(
+            status="FAILED"
+        )
+        assert ("conv-none", 999) in rej
+        up = updated.collect()
+        assert len(up) == 1
+        row = up[0]
+        # sanitized: onclick and script gone, formatting kept
+        assert "onclick" not in row.edited_content
+        assert "<script" not in row.edited_content
+        assert "<b>text</b>" in row.edited_content
+        # original extraction preserved verbatim
+        assert row.extracted_text == completed.extracted_text
+        assert row.edited_by == "editor-9"
+
+        n_before = results.count()
+        store.upsert(updated, spark)
+        after = store.results(spark)
+        assert after.count() == n_before  # replace, not append
+        got = after.filter(
+            (F.col("conv_id") == completed.conv_id)
+            & (F.col("turn_idx") == completed.turn_idx)
+        ).collect()
+        assert len(got) == 1
+        assert got[0].edited_content == row.edited_content
+        assert got[0].extracted_text == completed.extracted_text
+        # untouched rows keep null edit fields
+        others = after.filter(F.col("edited_content").isNull()).count()
+        assert others == n_before - 1
+
+    def test_resume_unaffected_by_upsert(self, spark, tmp_path):
+        """After an upsert compaction, resume still sees every completed
+        key exactly once (no re-processing, no loss)."""
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.checkpoint import resume_filter
+        from unraveldocs_spark.edits import apply_edits
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(3, median_turns=5, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / "edit2"))
+        run_extraction(spark, sdf, store=store, num_partitions=4)
+        target = store.results(spark).filter(F.col("status") == "COMPLETED").first()
+        edits = spark.createDataFrame(
+            [(target.conv_id, target.turn_idx, "v2", "MARKDOWN", "e")],
+            "conv_id string, turn_idx int, edited_content string, "
+            "content_format string, edited_by string",
+        )
+        updated, _ = apply_edits(store.results(spark), edits)
+        store.upsert(updated, spark)
+        assert resume_filter(sdf, store, spark).count() == 0

@@ -93,9 +93,12 @@ class DirCheckpointStore:
         results: DataFrame,
         lineage: DataFrame | None = None,
         run_id: str | None = None,
+        compacted: bool = False,
     ) -> str:
         """Write one snapshot atomically: stage results (+lineage) under a
-        _tmp dir, fsync a manifest, then rename into place."""
+        _tmp dir, fsync a manifest, then rename into place.  A snapshot
+        marked ``compacted`` carries the FULL current state (see
+        :meth:`upsert`); readers start from the latest compacted one."""
         run_id = run_id or uuid.uuid4().hex[:12]
         staging = os.path.join(self.root, f"_tmp-{uuid.uuid4().hex}")
         results.write.mode("overwrite").parquet(os.path.join(staging, "results"))
@@ -104,6 +107,7 @@ class DirCheckpointStore:
         manifest = {
             "run_id": run_id,
             "has_lineage": lineage is not None,
+            "compacted": compacted,
         }
         with open(os.path.join(staging, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -114,10 +118,42 @@ class DirCheckpointStore:
         os.rename(staging, final)  # atomic publish
         return snap_id
 
+    # -- upsert (MERGE equivalent) ---------------------------------------
+    def upsert(self, updates: DataFrame, spark: SparkSession,
+               run_id: str | None = None) -> str:
+        """Replace rows by (conv_id, turn_idx) — the batch analog of the
+        reference's edited-content save (UpdateOcrContentImpl.java:72-78)
+        and of ``MERGE INTO`` on the Iceberg path.
+
+        Copy-on-write: the new snapshot holds (current results ANTI-JOIN
+        update keys) UNION updates and is marked ``compacted``, so readers
+        see exactly one version of every key.  The rewrite is atomic (same
+        staging+rename publish), and a crash mid-upsert leaves the prior
+        state untouched."""
+        current = self.results(spark)
+        merged = current.join(updates.select(*KEYS), KEYS, "left_anti").unionByName(
+            updates
+        )
+        return self.append(merged, run_id=run_id, compacted=True)
+
     # -- read -------------------------------------------------------------
+    def _live_snapshots(self) -> list[str]:
+        """Snapshots a reader must scan: everything from the most recent
+        compacted snapshot (which holds full state) onward."""
+        snaps = self.snapshots()
+        last_compacted = None
+        for s in snaps:
+            with open(os.path.join(self.snap_dir, s, "_manifest.json")) as f:
+                if json.load(f).get("compacted"):
+                    last_compacted = s
+        if last_compacted is None:
+            return snaps
+        return [s for s in snaps if s >= last_compacted]
+
     def results(self, spark: SparkSession) -> DataFrame:
         paths = [
-            os.path.join(self.snap_dir, s, "results") for s in self.snapshots()
+            os.path.join(self.snap_dir, s, "results")
+            for s in self._live_snapshots()
         ]
         if not paths:
             return spark.createDataFrame([], EXTRACTIONS_SCHEMA)
@@ -158,8 +194,24 @@ class IcebergCheckpointStore:
         Unreachable in this sandbox (no Iceberg jar)."""
         raise NotImplementedError("requires an Iceberg catalog")
 
-    def append(self, results: DataFrame, lineage: DataFrame | None = None,
+    def upsert(self, updates: DataFrame, spark: SparkSession,
                run_id: str | None = None) -> str:
+        """Production path: ``MERGE INTO results_table t USING updates u
+        ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx WHEN MATCHED
+        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — Iceberg
+        copy-on-write/merge-on-read handles the rewrite.  Unreachable in
+        this sandbox (no Iceberg jar)."""
+        updates.createOrReplaceTempView("_upsert_updates")
+        spark.sql(
+            f"MERGE INTO {self.results_table} t USING _upsert_updates u "
+            "ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return run_id or "iceberg-merge"
+
+    def append(self, results: DataFrame, lineage: DataFrame | None = None,
+               run_id: str | None = None, compacted: bool = False) -> str:
         results.writeTo(self.results_table).append()
         if lineage is not None:
             lineage.writeTo(self.lineage_table).append()

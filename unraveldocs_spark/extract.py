@@ -70,6 +70,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "rule": rule,
             "n_chars": pd.array(n_chars, dtype="int32"),
             "n_words": pd.array(n_words, dtype="int32"),
+            # edit lifecycle fields: always null at extraction time
+            # (populated only by edits.apply_edits + store.upsert)
+            "edited_content": [None] * n,
+            "edited_by": [None] * n,
         }
         if carry_ts:
             out["ts"] = pdf["ts"].to_numpy()

@@ -1086,9 +1086,172 @@ FROM src ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Edited-content MERGE (UpdateOcrContentImpl.java:52-116 via edits.apply_edits)
+# ---------------------------------------------------------------------------
+
+
+def q_edit_upsert(spark, sf_dir):
+    """Edited-content lifecycle end-to-end: extraction-like rows derived
+    from documents (COMPLETED/FAILED/PENDING ladder), MARKDOWN edits for
+    every 6th doc, merged through edits.apply_edits — the COMPLETED guard
+    rejects edits on unfinished rows with the reference's message, and
+    extracted_text is PRESERVED on edited rows.  Output is the merged
+    view the store's upsert would publish."""
+    from .edits import ERR_NOT_COMPLETED, apply_edits
+
+    d = _t(spark, sf_dir, "documents")
+    status = (
+        F.when(F.col("doc_id") % 10 < 7, F.lit("COMPLETED"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("FAILED"))
+        .otherwise(F.lit("PENDING"))
+    )
+    results = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text").alias("extracted_text"),
+        F.lit(None).cast("array<struct<start:int,end:int,kind:string>>").alias("spans"),
+        status.alias("status"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit("MARKDOWN").alias("content_format"),
+        F.lit("plain").alias("rule"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.lit(0).cast("int").alias("n_words"),
+        F.lit(None).cast("string").alias("edited_content"),
+        F.lit(None).cast("string").alias("edited_by"),
+    )
+    edits = d.filter(F.col("doc_id") % 6 == 0).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(F.lit("**edited** "), F.substring("text", 1, 40)).alias(
+            "edited_content"
+        ),
+        F.lit("MARKDOWN").alias("content_format"),
+        F.lit("editor-1").alias("edited_by"),
+    )
+    updated, rejected = apply_edits(results, edits)
+    merged = results.join(
+        updated.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    ).unionByName(updated)
+    out = merged.join(
+        rejected.select("conv_id", "turn_idx", "edit_error"),
+        ["conv_id", "turn_idx"],
+        "left",
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "status",
+        "extracted_text",
+        "edited_content",
+        "edited_by",
+        "edit_error",
+    ).orderBy("doc_id")
+
+
+SQL_EDIT_UPSERT = """
+WITH r AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 10 < 7 THEN 'COMPLETED'
+              WHEN doc_id % 10 < 9 THEN 'FAILED'
+              ELSE 'PENDING' END AS status
+  FROM documents
+)
+SELECT doc_id, status, text AS extracted_text,
+       CASE WHEN doc_id % 6 = 0 AND status = 'COMPLETED'
+            THEN '**edited** ' || substr(text, 1, 40) END AS edited_content,
+       CASE WHEN doc_id % 6 = 0 AND status = 'COMPLETED'
+            THEN 'editor-1' END AS edited_by,
+       CASE WHEN doc_id % 6 = 0 AND status <> 'COMPLETED'
+            THEN 'Cannot edit content for a document that has not completed OCR processing. Current status: '
+                 || status END AS edit_error
+FROM r ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Plan/credit provider resolution (OcrProcessingService.java:113-133):
+# paid -> GOOGLE_VISION (no deduction); free with credits -> GOOGLE_VISION
+# (credit deducted per request); free without -> TESSERACT.
+# ---------------------------------------------------------------------------
+
+
+def q_provider_resolution(spark, sf_dir):
+    """Broadcast a tiny user-plan dim (customer-derived: plan + credit
+    balance) onto the request stream (events), resolve each request's
+    provider with the reference's when-ladder — a free user's first
+    ``credits`` requests (in (ts, event_id) order) use Vision and deduct,
+    the rest fall back to Tesseract — then roll up per user.  The dim
+    broadcast means the fact scan never shuffles for the join; the only
+    shuffle is the per-user window/rollup."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("user_id"),
+        (F.col("c_custkey") % 5 == 0).alias("is_paid"),
+        (F.col("c_custkey") % 4).cast("int").alias("credits"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    reqs = (
+        e.join(F.broadcast(dim), "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "provider",
+            F.when(F.col("is_paid"), F.lit("GOOGLE_VISION"))
+            .when(F.col("rn") <= F.col("credits"), F.lit("GOOGLE_VISION"))
+            .otherwise(F.lit("TESSERACT")),
+        )
+        .withColumn(
+            "deducted",
+            (~F.col("is_paid") & (F.col("provider") == "GOOGLE_VISION")).cast("int"),
+        )
+    )
+    return (
+        reqs.groupBy("user_id", "is_paid")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(F.when(F.col("provider") == "GOOGLE_VISION", 1).otherwise(0)).alias(
+                "n_vision"
+            ),
+            F.sum(F.when(F.col("provider") == "TESSERACT", 1).otherwise(0)).alias(
+                "n_tesseract"
+            ),
+            F.sum("deducted").alias("credits_deducted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_PROVIDER_RESOLUTION = """
+WITH dim AS (
+  SELECT c_custkey AS user_id,
+         c_custkey % 5 = 0 AS is_paid,
+         CAST(c_custkey % 4 AS INT) AS credits
+  FROM customer
+), reqs AS (
+  SELECT e.user_id, d.is_paid,
+         CASE WHEN d.is_paid THEN 'GOOGLE_VISION'
+              WHEN ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+                   <= d.credits THEN 'GOOGLE_VISION'
+              ELSE 'TESSERACT' END AS provider
+  FROM events e JOIN dim d ON e.user_id = d.user_id
+)
+SELECT user_id, is_paid, COUNT(*) AS n_requests,
+       CAST(SUM(CASE WHEN provider = 'GOOGLE_VISION' THEN 1 ELSE 0 END) AS BIGINT) AS n_vision,
+       CAST(SUM(CASE WHEN provider = 'TESSERACT' THEN 1 ELSE 0 END) AS BIGINT) AS n_tesseract,
+       CAST(SUM(CASE WHEN NOT is_paid AND provider = 'GOOGLE_VISION' THEN 1 ELSE 0 END) AS BIGINT)
+         AS credits_deducted
+FROM reqs GROUP BY user_id, is_paid ORDER BY user_id
+"""
+
+
 REGISTRY.update(
     {
         "search_ranked": {"builder": q_search_ranked, "sql": SQL_SEARCH_RANKED},
         "vision_metrics": {"builder": q_vision_metrics, "sql": SQL_VISION_METRICS},
+        "edit_upsert": {"builder": q_edit_upsert, "sql": SQL_EDIT_UPSERT},
+        "provider_resolution": {
+            "builder": q_provider_resolution,
+            "sql": SQL_PROVIDER_RESOLUTION,
+        },
     }
 )

@@ -35,7 +35,10 @@ SPAN_TYPE = StructType(
 )
 
 # Output: per-turn extraction record — analog of the ocr_data row
-# (SRC/ocrprocessing/model/OcrData.java:17-66) at (conv_id, turn_idx) grain
+# (SRC/ocrprocessing/model/OcrData.java:17-66) at (conv_id, turn_idx) grain.
+# edited_content/edited_by mirror OcrData's edit lifecycle: an edit NEVER
+# overwrites extracted_text (UpdateOcrContentImpl.java:72-78 sets
+# editedContent and leaves extractedText intact).
 EXTRACTIONS_SCHEMA = StructType(
     [
         StructField("conv_id", StringType(), False),
@@ -48,6 +51,8 @@ EXTRACTIONS_SCHEMA = StructType(
         StructField("rule", StringType(), False),
         StructField("n_chars", IntegerType(), False),
         StructField("n_words", IntegerType(), False),
+        StructField("edited_content", StringType(), True),
+        StructField("edited_by", StringType(), True),
     ]
 )
 
