@@ -270,3 +270,43 @@ class TestBandedJaccardVsBlocked:
                 assert blocked[pair] == jac
         strong = {p for p, (n, d) in blocked.items() if n * 2 >= d}
         assert strong <= set(banded), strong - set(banded)
+
+
+class TestKMeansRefine:
+    def test_objective_non_decreasing_and_deterministic(self, spark):
+        """One distributed Lloyd step must not decrease the spherical
+        k-means objective (mean max cosine to a centroid), and the
+        refined codebook is run-to-run deterministic."""
+        from unraveldocs_spark.similarity import kmeans_refine
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        rows = e.orderBy("vec_id").collect()
+        mat = np.asarray([list(r.embedding) for r in rows], dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        seed = mat[:8]
+
+        def objective(cents_unit):
+            return (unit @ cents_unit.T).max(axis=1).mean()
+
+        seed_unit = seed / np.linalg.norm(seed, axis=1, keepdims=True)
+        c1 = kmeans_refine(e, seed, 1)
+        c1b = kmeans_refine(e, seed, 1)
+        assert np.array_equal(c1, c1b)
+        assert objective(c1) >= objective(seed_unit) - 1e-12
+        c2 = kmeans_refine(e, seed, 2)
+        assert objective(c2) >= objective(c1) - 1e-12
+
+    def test_ivf_with_refined_codebook_valid(self, spark):
+        from unraveldocs_spark.similarity import brute_force_topk, ivf_topk
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+        base = e.filter(F.col("vec_id") != 0)
+        got = ivf_topk(base, qvec, k=10, n_centroids=16, nprobe=6, kmeans_iters=1)
+        rows = got.collect()
+        assert len(rows) == 10
+        exact = {
+            r.vec_id: r.cosine for r in brute_force_topk(base, qvec, k=500).collect()
+        }
+        for r in rows:
+            assert abs(exact[r.vec_id] - r.cosine) < 1e-9

@@ -109,23 +109,9 @@ def lsh_topk(
     return brute_force_topk(pruned, query_vec, k)
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-):
-    """IVF-style ANN: deterministic coarse centroids (the ``n_centroids``
-    lowest vec_ids stand in for a k-means codebook), vectors assigned to
-    their nearest centroid once (numpy, Arrow-batched), queries probe only
-    the ``nprobe`` nearest inverted lists.
-
-    At scale the assignment is computed once and stored as a partition
-    column, so a query scans only nprobe partitions of the table."""
-    cent_rows = embeddings.orderBy("vec_id").limit(n_centroids).collect()
-    cents = np.asarray([list(r.embedding) for r in cent_rows], dtype=np.float64)
-    cents_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+def _assign_stage(embeddings: DataFrame, cents_unit: np.ndarray) -> DataFrame:
+    """vec_id -> nearest-centroid id by cosine (numpy over Arrow batches;
+    argmax ties resolve to the lowest centroid id)."""
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -140,9 +126,68 @@ def ivf_topk(
                 {"vec_id": pdf["vec_id"], "centroid_id": sims.argmax(axis=1)}
             )
 
-    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+    return embeddings.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id long, centroid_id int"
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame, cents: np.ndarray, iters: int
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) refinement of a seed
+    codebook: assign via the Arrow stage, average each cluster JVM-side
+    (posexplode + groupBy(centroid, dim) — never collecting vectors),
+    renormalize, repeat.  Deterministic: seed order, argmax ties and the
+    empty-cluster rule (keep the previous centroid) are all fixed.  Only
+    ``n_centroids x dim`` averages ever reach the driver."""
+    from pyspark.sql import functions as F
+
+    cents_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(iters):
+        assigned = _assign_stage(embeddings, cents_unit)
+        means = (
+            embeddings.join(assigned, "vec_id")
+            .select("centroid_id", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("mean_val"))
+            .collect()
+        )
+        new = cents_unit.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in means:
+            acc.setdefault(r.centroid_id, np.zeros(cents.shape[1]))[r.dim] = r.mean_val
+        for cid, vec in acc.items():
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cid] = vec / n
+        cents_unit = new
+    return cents_unit
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 0,
+):
+    """IVF-style ANN: deterministic coarse centroids (the ``n_centroids``
+    lowest vec_ids seed the codebook; ``kmeans_iters`` distributed Lloyd
+    steps refine it — the seed-only default keeps the driver query's SQL
+    oracle exact), vectors assigned to their nearest centroid once
+    (numpy, Arrow-batched), queries probe only the ``nprobe`` nearest
+    inverted lists.
+
+    At scale the assignment is computed once and stored as a partition
+    column, so a query scans only nprobe partitions of the table."""
+    cent_rows = embeddings.orderBy("vec_id").limit(n_centroids).collect()
+    cents = np.asarray([list(r.embedding) for r in cent_rows], dtype=np.float64)
+    cents_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    if kmeans_iters > 0:
+        cents_unit = kmeans_refine(embeddings, cents, kmeans_iters)
+
+    assigned = _assign_stage(embeddings, cents_unit)
 
     q = np.asarray(query_vec, dtype=np.float64)
     qsims = (q / np.linalg.norm(q)) @ cents_unit.T
