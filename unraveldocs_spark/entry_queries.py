@@ -259,6 +259,31 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_stage(attach_binary_payload(d)).orderBy("doc_id")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan over decoded multimodal payloads: every
+    30th frame as (doc_id, frame_no) rows — pure JVM sequence+explode
+    downstream of the Arrow decode stage (multimodal.frame_sample_stage)."""
+    from .multimodal import attach_binary_payload, decode_stage, frame_sample_stage
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frame_sample_stage(
+        decode_stage(attach_binary_payload(d)), every_n=30
+    ).orderBy("doc_id", "frame_no")
+
+
+SQL_FRAME_SAMPLE = """
+WITH src AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n
+  FROM documents WHERE doc_id % 4 = 3
+), decoded AS (
+  SELECT doc_id, 1 + n % 240 AS n_frames FROM src
+)
+SELECT doc_id, CAST(u.f AS INT) AS frame_no
+FROM decoded, UNNEST(range(0, n_frames, 30)) AS u(f)
+ORDER BY doc_id, frame_no
+"""
+
+
 def _lang_id_sql() -> str:
     from .textanalysis import lang_id_sql_expr
 
@@ -317,4 +342,5 @@ ENTRY_REGISTRY: dict[str, dict] = {
     "ann_lsh_topk": {"builder": q_ann_lsh, "sql_fn": _ann_lsh_sql},
     "ann_ivf_topk": {"builder": q_ann_ivf, "sql_fn": _ann_ivf_sql},
     "multimodal_decode": {"builder": q_multimodal_decode, "sql_fn": _multimodal_sql},
+    "frame_sample": {"builder": q_frame_sample, "sql": SQL_FRAME_SAMPLE},
 }
