@@ -310,3 +310,32 @@ class TestKMeansRefine:
         }
         for r in rows:
             assert abs(exact[r.vec_id] - r.cosine) < 1e-9
+
+
+class TestMultiprobeLsh:
+    def test_multiprobe_equals_scan(self, spark):
+        """Enumerated probe buckets must produce the identical top-k as
+        the linear bit_count scan (same candidate set by construction)."""
+        from unraveldocs_spark.similarity import lsh_topk, probe_signatures
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+        base = e.filter(F.col("vec_id") != 0)
+        scan = [(r.vec_id, round(r.cosine, 9))
+                for r in lsh_topk(base, qvec, k=10, probe_hamming=3).collect()]
+        multi = [(r.vec_id, round(r.cosine, 9))
+                 for r in lsh_topk(base, qvec, k=10, probe_hamming=3,
+                                   multiprobe=True).collect()]
+        assert scan == multi and len(scan) > 0
+
+    def test_probe_key_count(self):
+        from math import comb
+
+        from unraveldocs_spark.similarity import probe_signatures
+
+        keys = probe_signatures(0b1010, bits=16, radius=3)
+        assert len(keys) == sum(comb(16, r) for r in range(4))
+        assert len(set(keys)) == len(keys)
+        from unraveldocs_spark.textanalysis import hamming64
+
+        assert all(hamming64(k, 0b1010) <= 3 for k in keys)

@@ -88,23 +88,60 @@ def brute_force_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10)
     )
 
 
+def probe_signatures(qsig: int, bits: int, radius: int) -> list[int]:
+    """Enumerate every signature within hamming distance ``radius`` of
+    ``qsig`` — the multiprobe key set.  Size = sum_{r<=radius} C(bits, r)
+    (e.g. 697 keys for 16 bits, radius 3)."""
+    from itertools import combinations
+
+    out = [qsig]
+    for r in range(1, radius + 1):
+        for flip in combinations(range(bits), r):
+            s = qsig
+            for b in flip:
+                s ^= 1 << b
+            out.append(s)
+    return out
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     bits: int = LSH_BITS,
     probe_hamming: int = 3,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """LSH-bucketed ANN: score only vectors whose signature is within
-    ``probe_hamming`` bits of the query signature."""
+    ``probe_hamming`` bits of the query signature.
+
+    Two candidate strategies with IDENTICAL results:
+    - default: one pass over the signature table filtering on
+      bit_count(xor) — linear in table size, no precomputation beyond the
+      signatures;
+    - ``multiprobe=True``: enumerate the probe bucket KEYS up front and
+      equi-join the signature table against them.  At scale, with the
+      signature table written partitioned/bucketed by signature, the
+      equi-join prunes to the probed buckets and never scans the rest —
+      the query cost is per-bucket, not per-table."""
     q = np.asarray(query_vec, dtype=np.float64)
     planes = _hyperplanes(len(query_vec), bits)
     qsig = signature_bits(q, planes)
 
     sigs = signature_stage(embeddings, dim=len(query_vec), bits=bits)
-    candidates = sigs.filter(
-        F.bit_count(F.col("signature").bitwiseXOR(F.lit(qsig))) <= probe_hamming
-    ).select("vec_id")
+    if multiprobe:
+        spark = embeddings.sparkSession
+        keys = spark.createDataFrame(
+            [(int(s),) for s in probe_signatures(qsig, bits, probe_hamming)],
+            "signature long",
+        )
+        candidates = sigs.join(F.broadcast(keys), "signature", "left_semi").select(
+            "vec_id"
+        )
+    else:
+        candidates = sigs.filter(
+            F.bit_count(F.col("signature").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+        ).select("vec_id")
     pruned = embeddings.join(candidates, "vec_id", "left_semi")
     return brute_force_topk(pruned, query_vec, k)
 
