@@ -109,3 +109,51 @@ def test_windowed_rollup_with_watermark(spark, tmp_path):
         )
         assert n == r.total_turns, (r.conv_id, r.window_start)
         assert r.collection_status in ("PROCESSED", "FAILED_OCR", "PROCESSING")
+
+
+def test_stateful_rollup_matches_batch_ladder(spark, tmp_path):
+    """applyInPandasWithState running rollup: the LAST emitted row per
+    conversation must equal the batch ladder computed from scratch, and
+    interim counts are monotonically non-decreasing."""
+    from pyspark.sql import functions as F
+
+    from unraveldocs_spark.extract import extract_stage
+    from unraveldocs_spark.rollup import conversation_rollup
+    from unraveldocs_spark.streaming_state import stateful_rollup_stream
+
+    pdf = G.transcripts_pandas(5, hot_factor=2, include_oversize=False)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    input_dir = str(tmp_path / "st-in")
+    # many small files so multiple micro-batches exercise state carry-over
+    sdf.repartition(8).write.parquet(input_dir)
+
+    out_dir = str(tmp_path / "st-out")
+    q = stateful_rollup_stream(
+        spark, input_dir, out_dir, str(tmp_path / "st-ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert got, "no stateful output emitted"
+    # last (max total_turns) row per conversation == batch recomputation
+    last = {}
+    for r in got:
+        if r.conv_id not in last or r.total_turns >= last[r.conv_id].total_turns:
+            last[r.conv_id] = r
+    batch = {
+        r.conv_id: r
+        for r in conversation_rollup(extract_stage(sdf)).collect()
+    }
+    assert set(last) == set(batch)
+    for conv_id, b in batch.items():
+        s = last[conv_id]
+        assert (s.total_turns, s.completed, s.failed) == (
+            b.total_turns, b.completed, b.failed), conv_id
+        assert s.collection_status == b.collection_status
+    # interim rows never decrease
+    by_conv = {}
+    for r in sorted(got, key=lambda r: r.total_turns):
+        prev = by_conv.get(r.conv_id)
+        if prev is not None:
+            assert r.completed >= prev.completed and r.failed >= prev.failed
+        by_conv[r.conv_id] = r

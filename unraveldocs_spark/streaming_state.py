@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator: incremental per-conversation
+rollup via ``applyInPandasWithState``.
+
+The batch pipeline recomputes the conversation status ladder
+(ProcessOcr.java:185-217 — rollup.py) from scratch; this operator keeps
+running (total, completed, failed) counts PER CONVERSATION in Spark's
+managed state store, updating as extraction rows stream in:
+
+- every micro-batch emits the conversation's current ladder row with
+  ``is_final = false`` (the analog of the reference recomputing the
+  collection status after each document, ProcessOcr.java:146-149);
+- a conversation idle past ``idle_timeout_ms`` (processing time) emits a
+  terminal ``is_final = true`` row and drops its state — bounding state
+  size for the 10^12-turn stream.
+
+State per key is three longs, so memory is O(live conversations), never
+O(turns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .extract import extract_stage
+from .schemas import TRANSCRIPTS_SCHEMA
+from .semantics import rollup_status
+
+OUTPUT_SCHEMA = (
+    "conv_id string, total_turns long, completed long, failed long, "
+    "collection_status string, is_final boolean"
+)
+STATE_SCHEMA = "total long, completed long, failed long"
+
+
+def _make_update(idle_timeout_ms: int):
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            total, completed, failed = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "total_turns": [total],
+                    "completed": [completed],
+                    "failed": [failed],
+                    "collection_status": [rollup_status(total, completed, failed)],
+                    "is_final": [True],
+                }
+            )
+            return
+        total, completed, failed = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            completed += int((pdf["status"] == "COMPLETED").sum())
+            failed += int((pdf["status"] == "FAILED").sum())
+        state.update((total, completed, failed))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "total_turns": [total],
+                "completed": [completed],
+                "failed": [failed],
+                "collection_status": [rollup_status(total, completed, failed)],
+                "is_final": [False],
+            }
+        )
+
+    return _update
+
+
+def stateful_rollup_stream(
+    spark: Any,
+    input_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    idle_timeout_ms: int = 60_000,
+):
+    """File stream of transcript turns -> extraction -> stateful
+    per-conversation rollup -> parquet sink (update semantics surfaced as
+    append of (conv_id, version) rows; the latest row per conv_id is the
+    current ladder state)."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+    extracted = extract_stage(stream)
+    rolled = (
+        extracted.groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_update(idle_timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    # parquet sinks don't accept update mode; append each micro-batch's
+    # update rows via foreachBatch — the latest row per conv_id is the
+    # current ladder state
+    def sink(batch_df, _batch_id: int):
+        batch_df.write.mode("append").parquet(out_path)
+
+    return (
+        rolled.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
