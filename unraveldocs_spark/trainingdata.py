@@ -658,7 +658,69 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed corpus-prep pipeline: quality gate -> exact dedup -> per-lang stats
+# ---------------------------------------------------------------------------
+
+def q_corpus_prep(spark, sf_dir):
+    """The end-to-end shape of a training-data prep job, composed from
+    the individual operators: (1) quality gate — length bounds and a
+    stopword-ratio floor (real-language signal); (2) exact dedup keeping
+    the lowest doc_id per content hash; (3) per-lang corpus stats.  All
+    JVM built-ins; two shuffles total (dedup groupBy, stats groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_words = F.size(toks)
+    gated = d.select(
+        "doc_id", "lang", "text", "n_chars", n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+    ).filter(
+        (F.col("n_chars") >= 40)
+        & (F.col("n_chars") <= 5000)
+        & (F.col("n_stop") * 100 >= F.col("n_words") * 2)  # >= 2% stopwords
+    )
+    keepers = (
+        gated.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = gated.join(keepers, "doc_id", "left_semi")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_PREP = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text, n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> list_contains({list(_STOPWORDS)!r}, x))) AS n_stop
+  FROM documents
+), ok AS (
+  SELECT * FROM gated
+  WHERE n_chars >= 40 AND n_chars <= 5000 AND n_stop * 100 >= n_words * 2
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ok WHERE doc_id IN (SELECT doc_id FROM keepers)
+GROUP BY lang ORDER BY lang
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
+    "corpus_prep": {"builder": q_corpus_prep, "sql": SQL_CORPUS_PREP},
     "dedup_exact": {"builder": q_dedup_exact, "sql": SQL_DEDUP_EXACT},
     "dedup_ngram_jaccard": {
         "builder": q_dedup_ngram_jaccard,
