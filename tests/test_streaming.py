@@ -128,6 +128,8 @@ def test_stateful_rollup_matches_batch_ladder(spark, tmp_path):
     sdf.repartition(8).write.parquet(input_dir)
 
     out_dir = str(tmp_path / "st-out")
+    # drain mode: no idle timeout (processing-time timers would keep an
+    # availableNow query scheduling empty batches forever)
     q = stateful_rollup_stream(
         spark, input_dir, out_dir, str(tmp_path / "st-ckpt")
     )

@@ -9,9 +9,14 @@ managed state store, updating as extraction rows stream in:
 - every micro-batch emits the conversation's current ladder row with
   ``is_final = false`` (the analog of the reference recomputing the
   collection status after each document, ProcessOcr.java:146-149);
-- a conversation idle past ``idle_timeout_ms`` (processing time) emits a
-  terminal ``is_final = true`` row and drops its state — bounding state
-  size for the 10^12-turn stream.
+- with an ``idle_timeout_ms`` (continuous ``processingTime`` triggers
+  only), a conversation idle past the timeout emits a terminal
+  ``is_final = true`` row and drops its state — bounding state size for
+  the 10^12-turn stream.  In drain mode (``availableNow``) pass
+  ``idle_timeout_ms=None``: processing-time timers keep an availableNow
+  query scheduling empty batches forever (observed: 100+ zero-row
+  batches), so drain runs use NoTimeout and leave eviction to the next
+  continuous deployment.
 
 State per key is three longs, so memory is O(live conversations), never
 O(turns).
@@ -37,7 +42,7 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "total long, completed long, failed long"
 
 
-def _make_update(idle_timeout_ms: int):
+def _make_update(idle_timeout_ms: int | None):
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -62,7 +67,8 @@ def _make_update(idle_timeout_ms: int):
             completed += int((pdf["status"] == "COMPLETED").sum())
             failed += int((pdf["status"] == "FAILED").sum())
         state.update((total, completed, failed))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "conv_id": [conv_id],
@@ -82,7 +88,7 @@ def stateful_rollup_stream(
     input_path: str,
     out_path: str,
     checkpoint_dir: str,
-    idle_timeout_ms: int = 60_000,
+    idle_timeout_ms: int | None = None,
 ):
     """File stream of transcript turns -> extraction -> stateful
     per-conversation rollup -> parquet sink (update semantics surfaced as
@@ -101,7 +107,11 @@ def stateful_rollup_stream(
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
     # parquet sinks don't accept update mode; append each micro-batch's
