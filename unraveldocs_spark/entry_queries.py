@@ -106,9 +106,20 @@ def q_extract_synthetic(spark, sf_dir):
     from .generator import transcripts_spark
 
     t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    spans_str = F.array_join(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.concat_ws(
+                ":",
+                F.concat_ws("-", s["start"].cast("string"), s["end"].cast("string")),
+                s["kind"],
+            ),
+        ),
+        "|",
+    )
     return extract_stage(salted_repartition(t, 16)).select(
         "conv_id", "turn_idx", "status", "rule", "extracted_text",
-        "error_message", "n_chars", "n_words",
+        "error_message", spans_str.alias("spans_str"), "n_chars", "n_words",
     ).orderBy("conv_id", "turn_idx")
 
 

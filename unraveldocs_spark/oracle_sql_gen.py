@@ -273,6 +273,7 @@ def extract_synthetic_sql(
         for t in range(size):
             role, text, tool = make_turn(c, t, include_oversize)
             r = extract_turn(role, tool, text)
+            spans_str = "|".join(f"{s}-{e}:{k}" for (s, e, k) in r.spans)
             rows.append(
                 "(" + ", ".join(
                     (
@@ -282,6 +283,7 @@ def extract_synthetic_sql(
                         _sql_str(r.rule),
                         _sql_str(r.extracted_text),
                         _sql_str(r.error_message),
+                        _sql_str(spans_str),
                         str(r.n_chars),
                         str(r.n_words),
                     )
@@ -290,11 +292,11 @@ def extract_synthetic_sql(
     values = ",\n".join(rows)
     return f"""
 SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, status, rule,
-       extracted_text, error_message,
+       extracted_text, error_message, spans_str,
        CAST(n_chars AS INT) AS n_chars, CAST(n_words AS INT) AS n_words
 FROM (VALUES
 {values}
 ) AS t(conv_id, turn_idx, status, rule, extracted_text, error_message,
-       n_chars, n_words)
+       spans_str, n_chars, n_words)
 ORDER BY conv_id, turn_idx
 """
