@@ -145,3 +145,37 @@ class TestResumePlan:
         store = DirCheckpointStore(str(tmp_path / "ckpt"))
         plan = plan_of(resume_filter(t, store, spark), "simple")
         assert "LeftAnti" in plan
+
+
+class TestRound2Plans:
+    def test_provider_resolution_broadcasts_dim(self, spark):
+        """The user-plan dim must broadcast: the request-stream scan never
+        shuffles for the join (the 100TB fact-side property)."""
+        from unraveldocs_spark.queries import q_provider_resolution
+
+        plan = plan_of(q_provider_resolution(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_edit_upsert_equi_joins_only(self, spark):
+        from unraveldocs_spark.queries import q_edit_upsert
+
+        plan = plan_of(q_edit_upsert(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_multiprobe_lsh_joins_on_signature(self, spark):
+        """Multiprobe candidates equi-join broadcast probe keys on the
+        signature column (bucket pruning shape), not a full-table scan
+        predicate."""
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.similarity import lsh_topk
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+        plan = plan_of(
+            lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=5, multiprobe=True),
+            "simple",
+        )
+        assert "BroadcastHashJoin" in plan and "signature" in plan
