@@ -1,3 +1,6 @@
+import shutil
+import tempfile
+
 import pytest
 
 
@@ -5,10 +8,13 @@ import pytest
 def spark():
     from unraveldocs_spark.session import build_session
 
+    warehouse = tempfile.mkdtemp(prefix="unraveldocs-warehouse-")
     spark = build_session(
         app_name="unraveldocs-tests",
         master="local[4]",
         shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     yield spark
     spark.stop()
+    shutil.rmtree(warehouse, ignore_errors=True)

@@ -227,6 +227,27 @@ class IcebergCheckpointStore:
         return self.results(spark).select(*KEYS)
 
 
+def write_bucketed(df: DataFrame, table: str, buckets: int = 16,
+                   by: str = "conv_id") -> None:
+    """Write a table bucketed by ``by`` so resume joins co-locate.
+
+    At 10^12 turns the conv-grain prune (phase 1 of resume_filter) joins
+    input and completed keys on conv_id; when both sides are bucketed by
+    conv_id with matching bucket counts, that join runs shuffle-FREE
+    (bucket-local sort-merge) — the plan-tested property.  The Iceberg
+    production path is the same idea as a partition transform:
+    ``PARTITIONED BY (bucket(N, conv_id))`` with storage-partitioned
+    joins; this helper is the builtin-catalog equivalent for the
+    sandbox."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, by)
+        .sortBy(by)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def resume_filter(
     transcripts: DataFrame, store, spark: SparkSession, two_phase: bool = True
 ) -> DataFrame:
