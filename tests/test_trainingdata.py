@@ -339,3 +339,40 @@ class TestMultiprobeLsh:
         from unraveldocs_spark.textanalysis import hamming64
 
         assert all(hamming64(k, 0b1010) <= 3 for k in keys)
+
+
+class TestMultimodalResizeFeatures:
+    def test_resize_plan_aspect_preserving(self, spark):
+        from unraveldocs_spark.multimodal import (
+            attach_binary_payload,
+            decode_stage,
+            resize_plan_stage,
+        )
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+        rows = resize_plan_stage(decode_stage(attach_binary_payload(d))).collect()
+        assert rows
+        for r in rows:
+            assert max(r.out_width, r.out_height) == 224
+            assert 1 <= r.out_width <= 224 and 1 <= r.out_height <= 224
+            # integer-exact fit: out = (dim * 224) // long_side
+            ls = max(r.width, r.height)
+            assert r.out_width == max(1, r.width * 224 // ls)
+            assert r.out_height == max(1, r.height * 224 // ls)
+
+    def test_features_histogram_matches_python(self, spark):
+        from unraveldocs_spark.multimodal import (
+            FEATURE_BINS,
+            attach_binary_payload,
+            feature_stage,
+        )
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+        texts = {r.doc_id: r.text for r in d.collect()}
+        got = {r.doc_id: r.features
+               for r in feature_stage(attach_binary_payload(d)).collect()}
+        for doc_id, text in texts.items():
+            bins = [0] * FEATURE_BINS
+            for b in text.encode("utf-8")[:64]:
+                bins[b % FEATURE_BINS] += 1
+            assert got[doc_id] == "|".join(str(v) for v in bins)

@@ -270,6 +270,68 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_stage(attach_binary_payload(d)).orderBy("doc_id")
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize plan for image payloads (integer
+    arithmetic fit into 224x224) downstream of the decode stage."""
+    from .multimodal import attach_binary_payload, decode_stage, resize_plan_stage
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_plan_stage(decode_stage(attach_binary_payload(d))).orderBy(
+        "doc_id"
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
+         CAST(octet_length(encode(text)) AS INT) AS n,
+         COALESCE(list_aggregate(list_transform(
+             range(1, CAST(least(length(text), 64) + 1 AS INT)),
+             i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum'), 0) AS checksum
+  FROM documents WHERE doc_id % 4 IN (0, 1)
+), dims AS (
+  SELECT doc_id, media_type,
+         CAST(64 + (checksum % 16) * 32 AS INT) AS width,
+         CAST(64 + (n % 12) * 32 AS INT) AS height
+  FROM src
+)
+SELECT doc_id, media_type, width, height,
+       CAST(greatest(1, (width * 224) // greatest(width, height)) AS INT) AS out_width,
+       CAST(greatest(1, (height * 224) // greatest(width, height)) AS INT) AS out_height
+FROM dims ORDER BY doc_id
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Byte-class histogram features over binary payloads (the
+    feature-extract stand-in), Arrow-batched; emitted as a joined string
+    so hashing never depends on list canonicalization."""
+    from .multimodal import attach_binary_payload, feature_stage
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return feature_stage(attach_binary_payload(d)).orderBy("doc_id")
+
+
+def _features_sql() -> str:
+    from .multimodal import FEATURE_BINS
+
+    bins = " || '|' || ".join(
+        f"CAST(len(list_filter(pfx, a -> a % {FEATURE_BINS} = {c})) AS VARCHAR)"
+        for c in range(FEATURE_BINS)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         list_transform(range(1, CAST(least(length(text), 64) + 1 AS INT)),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))) AS pfx
+  FROM documents
+)
+SELECT doc_id, {bins} AS features
+FROM src ORDER BY doc_id
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling plan over decoded multimodal payloads: every
     30th frame as (doc_id, frame_no) rows — pure JVM sequence+explode
@@ -354,4 +416,6 @@ ENTRY_REGISTRY: dict[str, dict] = {
     "ann_ivf_topk": {"builder": q_ann_ivf, "sql_fn": _ann_ivf_sql},
     "multimodal_decode": {"builder": q_multimodal_decode, "sql_fn": _multimodal_sql},
     "frame_sample": {"builder": q_frame_sample, "sql": SQL_FRAME_SAMPLE},
+    "multimodal_resize": {"builder": q_multimodal_resize, "sql": SQL_MULTIMODAL_RESIZE},
+    "multimodal_features": {"builder": q_multimodal_features, "sql_fn": _features_sql},
 }

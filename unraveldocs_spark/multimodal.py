@@ -106,6 +106,61 @@ def decode_stage(
     return payloads.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZE_TARGET = 224
+
+
+def resize_plan_stage(decoded: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Aspect-preserving resize plan: fit (width, height) into a
+    target x target box with integer arithmetic (exact on any engine).
+    The pixel resample itself is the stubbed codec step; the scale
+    arithmetic, schema and dispatch are the real Spark-side plumbing —
+    all JVM built-ins, no Python."""
+    long_side = F.greatest(F.col("width"), F.col("height"))
+    out_w = F.greatest(F.lit(1), (F.col("width") * target) / long_side).cast("int")
+    out_h = F.greatest(F.lit(1), (F.col("height") * target) / long_side).cast("int")
+    return (
+        decoded.filter(F.col("decode_status") == "COMPLETED")
+        .filter(F.col("media_type").startswith("image/"))
+        .select(
+            "doc_id",
+            "media_type",
+            "width",
+            "height",
+            F.floor(out_w).cast("int").alias("out_width"),
+            F.floor(out_h).cast("int").alias("out_height"),
+        )
+    )
+
+
+FEATURE_BINS = 8
+
+
+def feature_stage(payloads: DataFrame, prefix: int = 64) -> DataFrame:
+    """Deterministic fake feature extraction over binary payloads: an
+    ``FEATURE_BINS``-bin byte-class histogram of the payload prefix
+    (byte % bins), Arrow-batched.  Stands in for a real encoder the same
+    way _fake_decode stands in for a codec: batch shape, schema and
+    partitioning are real; the features are reproducible arithmetic.
+    Emitted as a joined string so the oracle hash never depends on list
+    canonicalization."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "features": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                bins = [0] * FEATURE_BINS
+                for b in data[:prefix]:
+                    bins[b % FEATURE_BINS] += 1
+                out["doc_id"].append(doc_id)
+                out["features"].append("|".join(str(v) for v in bins))
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, features string"
+    )
+
+
 def frame_sample_stage(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame sampling plan for video payloads: emits (doc_id, frame_no)
     rows via sequence+explode — pure JVM, no Python."""
