@@ -54,6 +54,7 @@ HEADLINE_QUERIES = (
     "broadcast_star_join",
     "left_join_pending_default",
     "search_filter",
+    "search_ranked",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -61,6 +62,9 @@ HEADLINE_QUERIES = (
     "ann_topk",
     "quality_score",
     "token_count",
+    "corpus_prep",
+    "provider_resolution",
+    "pdf_layout",
     "extract_turns",
 )
 
