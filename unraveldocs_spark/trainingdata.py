@@ -333,6 +333,13 @@ _COS_THRESHOLD = 0.35
 # Candidates must share >=1 band — a data-dependent key (bucket sizes
 # track actual vector similarity), unlike the fixed-cardinality label
 # blocking this replaced, which went O(n^2/#labels) at scale.
+#
+# Scale rule: per-band bucket count is 2^bits, so band bits must GROW
+# with corpus size — bits ~ log2(n) - log2(target bucket size) keeps
+# expected bucket sizes flat (wider signature from the same hyperplane
+# family; recall at a given cosine follows (1-theta/pi)^bits per band,
+# compensated by more bands).  4x4 is sized for the driver's 500-2000
+# vectors; a 10^9-vector corpus would run e.g. 8 bands x 24 bits.
 _EC_BANDS = 4
 _EC_BAND_BITS = 4
 
