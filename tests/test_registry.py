@@ -29,3 +29,23 @@ def test_oracle_sql_covers_every_query():
     sqls = entry_mod.oracle_sql()
     assert set(qs) == set(sqls)
     assert all(isinstance(s, str) and s.strip() for s in sqls.values())
+
+
+def test_unverified_queries_iterate_first():
+    """The round driver records CORRECTNESS rows for only the first ~50
+    queries in iteration order (CORRECTNESS_r02.json == first 50 of 58,
+    exactly, in order). Queries without a prior green driver row — which
+    includes every newly added query — must therefore iterate before the
+    already-verified ones, so per-round artifacts union to full coverage."""
+    names = list(entry_mod.queries())
+    verified = entry_mod._DRIVER_VERIFIED_PRIOR_ROUNDS
+    seen_verified = False
+    for n in names:
+        if n in verified:
+            seen_verified = True
+        else:
+            assert not seen_verified, (
+                f"unverified query {n!r} iterates after a verified one"
+            )
+    # the prior-round set must only name queries that still exist
+    assert verified <= set(names), verified - set(names)
