@@ -159,3 +159,70 @@ def test_stateful_rollup_matches_batch_ladder(spark, tmp_path):
         if prev is not None:
             assert r.completed >= prev.completed and r.failed >= prev.failed
         by_conv[r.conv_id] = r
+
+
+def test_stateful_rollup_rejects_timeout_with_available_now(spark, tmp_path):
+    """idle_timeout_ms selects ProcessingTimeTimeout, which never lets an
+    availableNow query terminate — the combination must raise, not hang."""
+    import pytest
+
+    from unraveldocs_spark.streaming_state import stateful_rollup_stream
+
+    with pytest.raises(ValueError, match="availableNow"):
+        stateful_rollup_stream(
+            spark, str(tmp_path / "x-in"), str(tmp_path / "x-out"),
+            str(tmp_path / "x-ckpt"), idle_timeout_ms=1000,
+        )
+
+
+def test_stateful_rollup_idle_timeout_evicts(spark, tmp_path):
+    """Continuous (processingTime) deployment: a conversation idle past
+    idle_timeout_ms must emit a terminal is_final=true row and drop its
+    state — the branch that bounds state to O(live conversations).  This
+    test fails if the hasTimedOut eviction branch is deleted (no other
+    code path emits is_final=true)."""
+    import time
+
+    from unraveldocs_spark.extract import extract_stage
+    from unraveldocs_spark.rollup import conversation_rollup
+    from unraveldocs_spark.streaming_state import stateful_rollup_stream
+
+    pdf = G.transcripts_pandas(3, hot_factor=1, include_oversize=False)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    input_dir = str(tmp_path / "ev-in")
+    sdf.repartition(2).write.parquet(input_dir)
+
+    out_dir = str(tmp_path / "ev-out")
+    q = stateful_rollup_stream(
+        spark, input_dir, out_dir, str(tmp_path / "ev-ckpt"),
+        idle_timeout_ms=1500, trigger={"processingTime": "1 second"},
+    )
+    try:
+        # all input arrives in the first batches; then the stream idles and
+        # empty timeout batches must evict every conversation
+        deadline = time.monotonic() + 120
+        finals = {}
+        while time.monotonic() < deadline:
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:  # sink dir not created yet
+                rows = []
+            finals = {r.conv_id: r for r in rows if r.is_final}
+            if len(finals) == len(set(pdf.conv_id)):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    assert set(finals) == set(pdf.conv_id), (
+        f"eviction rows missing: {set(pdf.conv_id) - set(finals)}"
+    )
+    # terminal rows carry the full ladder state at eviction time
+    batch = {
+        r.conv_id: r for r in conversation_rollup(extract_stage(sdf)).collect()
+    }
+    for conv_id, b in batch.items():
+        f = finals[conv_id]
+        assert (f.total_turns, f.completed, f.failed) == (
+            b.total_turns, b.completed, b.failed), conv_id
+        assert f.collection_status == b.collection_status

@@ -52,23 +52,42 @@ class DirCheckpointStore:
         self.root = root
         self.snap_dir = os.path.join(root, "snapshots")
         os.makedirs(self.snap_dir, exist_ok=True)
+        # manifest cache keyed by snapshot name: manifests are immutable
+        # once published (atomic rename), so each is parsed at most once
+        # per store instance — has_run on every micro-batch is then
+        # O(new snapshots), not O(all snapshots) (O(n^2) over a stream)
+        self._manifest_cache: dict[str, dict] = {}
+
+    @staticmethod
+    def _snap_num(name: str) -> int:
+        return int(name.split("-", 1)[1])
+
+    def _manifest(self, snap: str) -> dict:
+        m = self._manifest_cache.get(snap)
+        if m is None:
+            with open(os.path.join(self.snap_dir, snap, "_manifest.json")) as f:
+                m = json.load(f)
+            self._manifest_cache[snap] = m
+        return m
 
     # -- inspection -----------------------------------------------------
     def snapshots(self) -> list[str]:
+        # ordered by snapshot NUMBER: names are zero-padded to 6 digits,
+        # so lexicographic order silently misorders past snap-999999 —
+        # relevant at 10^12-turn stream lifetimes
         return sorted(
-            d
-            for d in os.listdir(self.snap_dir)
-            if d.startswith("snap-")
-            and os.path.exists(os.path.join(self.snap_dir, d, "_manifest.json"))
+            (
+                d
+                for d in os.listdir(self.snap_dir)
+                if d.startswith("snap-")
+                and os.path.exists(os.path.join(self.snap_dir, d, "_manifest.json"))
+            ),
+            key=self._snap_num,
         )
 
     def committed_run_ids(self) -> set[str]:
         """run_ids of all committed snapshots (from their manifests)."""
-        out: set[str] = set()
-        for snap in self.snapshots():
-            with open(os.path.join(self.snap_dir, snap, "_manifest.json")) as f:
-                out.add(json.load(f).get("run_id"))
-        return out
+        return {self._manifest(s).get("run_id") for s in self.snapshots()}
 
     def has_run(self, run_id: str) -> bool:
         """True if a committed snapshot already carries ``run_id`` — the
@@ -81,7 +100,7 @@ class DirCheckpointStore:
         # (unmanifested) snapshot must not block future appends by
         # colliding on the rename target
         existing = [
-            int(d.split("-")[1])
+            self._snap_num(d)
             for d in os.listdir(self.snap_dir)
             if d.startswith("snap-")
         ]
@@ -143,12 +162,12 @@ class DirCheckpointStore:
         snaps = self.snapshots()
         last_compacted = None
         for s in snaps:
-            with open(os.path.join(self.snap_dir, s, "_manifest.json")) as f:
-                if json.load(f).get("compacted"):
-                    last_compacted = s
+            if self._manifest(s).get("compacted"):
+                last_compacted = s
         if last_compacted is None:
             return snaps
-        return [s for s in snaps if s >= last_compacted]
+        cutoff = self._snap_num(last_compacted)
+        return [s for s in snaps if self._snap_num(s) >= cutoff]
 
     def results(self, spark: SparkSession) -> DataFrame:
         paths = [
@@ -173,6 +192,37 @@ class DirCheckpointStore:
         return self.results(spark).select(*KEYS)
 
 
+RUN_ID_SNAPSHOT_PROPERTY = "run-id"
+
+
+def iceberg_merge_sql(results_table: str, updates_view: str = "_upsert_updates") -> str:
+    """The MERGE the Iceberg upsert path executes — rendered by a pure
+    function so the SQL is unit-pinned even though the sandbox has no
+    Iceberg jar to execute it against (the batch analog of the reference's
+    edited-content save, UpdateOcrContentImpl.java:72-78)."""
+    return (
+        f"MERGE INTO {results_table} t USING {updates_view} u "
+        "ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def iceberg_has_run_sql(results_table: str, run_id: str) -> str:
+    """Lookup of a committed run_id in the table's snapshot log (the
+    ``<table>.snapshots`` metadata table): appends stamp the run_id into
+    the snapshot summary via the ``snapshot-property.*`` write option, so
+    a replayed micro-batch finds its own prior commit here — the standard
+    idempotent-foreachBatch pattern on Iceberg."""
+    if "'" in run_id:
+        raise ValueError(f"run_id must not contain quotes: {run_id!r}")
+    return (
+        "SELECT count(*) AS n "  # noqa: S608 — identifiers, not user data
+        f"FROM {results_table}.snapshots "
+        f"WHERE summary['{RUN_ID_SNAPSHOT_PROPERTY}'] = '{run_id}'"
+    )
+
+
 class IcebergCheckpointStore:
     """Iceberg-backed store: same interface, transactional appends.
 
@@ -180,39 +230,49 @@ class IcebergCheckpointStore:
     the iceberg-spark-runtime jar; ``results_table``/``lineage_table`` are
     fully-qualified identifiers.  MERGE-free by design: appends only, with
     resume by anti-join, so concurrent writers only need snapshot
-    isolation.
+    isolation.  The SQL this class executes is rendered by the module-level
+    ``iceberg_*_sql`` functions and pinned by unit tests, since the sandbox
+    has no Iceberg runtime jar to execute it against.
     """
 
-    def __init__(self, results_table: str, lineage_table: str):
+    def __init__(self, results_table: str, lineage_table: str,
+                 spark: SparkSession | None = None):
         self.results_table = results_table
         self.lineage_table = lineage_table
+        self._spark = spark
+
+    def _session(self) -> SparkSession:
+        spark = self._spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession for Iceberg store")
+        return spark
 
     def has_run(self, run_id: str) -> bool:
-        """Production path: check the snapshot-summary property
-        ('run-id' stamped via commit properties) on the table's snapshot
-        log — the standard idempotent-foreachBatch pattern on Iceberg.
-        Unreachable in this sandbox (no Iceberg jar)."""
-        raise NotImplementedError("requires an Iceberg catalog")
+        """True if a committed snapshot's summary carries ``run_id`` —
+        stamped by :meth:`append` via the snapshot-property write option."""
+        rows = self._session().sql(
+            iceberg_has_run_sql(self.results_table, run_id)
+        ).collect()
+        return rows[0]["n"] > 0
 
     def upsert(self, updates: DataFrame, spark: SparkSession,
                run_id: str | None = None) -> str:
-        """Production path: ``MERGE INTO results_table t USING updates u
-        ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx WHEN MATCHED
-        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — Iceberg
-        copy-on-write/merge-on-read handles the rewrite.  Unreachable in
-        this sandbox (no Iceberg jar)."""
+        """Replace rows by (conv_id, turn_idx) via ``MERGE INTO`` —
+        Iceberg copy-on-write/merge-on-read handles the rewrite."""
         updates.createOrReplaceTempView("_upsert_updates")
-        spark.sql(
-            f"MERGE INTO {self.results_table} t USING _upsert_updates u "
-            "ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        spark.sql(iceberg_merge_sql(self.results_table))
         return run_id or "iceberg-merge"
 
     def append(self, results: DataFrame, lineage: DataFrame | None = None,
                run_id: str | None = None, compacted: bool = False) -> str:
-        results.writeTo(self.results_table).append()
+        writer = results.writeTo(self.results_table)
+        if run_id is not None:
+            # stamped into the commit's snapshot summary; read back by
+            # has_run for idempotent micro-batch replay
+            writer = writer.option(
+                f"snapshot-property.{RUN_ID_SNAPSHOT_PROPERTY}", run_id
+            )
+        writer.append()
         if lineage is not None:
             lineage.writeTo(self.lineage_table).append()
         return run_id or "iceberg-append"

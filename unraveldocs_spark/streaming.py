@@ -50,9 +50,14 @@ def stream_extract(
         run_id = f"stream-batch-{batch_id}"
         # idempotent replay guard: a micro-batch that crashed between
         # store.append and the streaming-checkpoint commit re-runs here
-        # with the same batch_id — skip if its snapshot already committed
-        if store.has_run(run_id):
-            return
+        # with the same batch_id — skip if its snapshot already committed.
+        # A store without run-id tracking degrades to plain at-least-once
+        # append instead of failing the stream on its first micro-batch.
+        try:
+            if store.has_run(run_id):
+                return
+        except NotImplementedError:
+            pass
         store.append(batch_df, lineage=None, run_id=run_id)
 
     writer = (

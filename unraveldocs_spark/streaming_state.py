@@ -89,11 +89,28 @@ def stateful_rollup_stream(
     out_path: str,
     checkpoint_dir: str,
     idle_timeout_ms: int | None = None,
+    trigger: dict[str, Any] | None = None,
 ):
     """File stream of transcript turns -> extraction -> stateful
     per-conversation rollup -> parquet sink (update semantics surfaced as
     append of (conv_id, version) rows; the latest row per conv_id is the
-    current ladder state)."""
+    current ladder state).
+
+    ``trigger`` is passed to ``writeStream.trigger`` verbatim; it defaults
+    to ``{"availableNow": True}`` (drain mode).  ``idle_timeout_ms``
+    selects ProcessingTimeTimeout and REQUIRES a continuous trigger
+    (e.g. ``{"processingTime": "1 second"}``): an availableNow query with
+    processing-time timers schedules empty batches forever and never
+    terminates, so that combination raises instead of hanging."""
+    if trigger is None:
+        trigger = {"availableNow": True}
+    if idle_timeout_ms is not None and trigger.get("availableNow"):
+        raise ValueError(
+            "idle_timeout_ms uses ProcessingTimeTimeout, which never lets an "
+            "availableNow query terminate; use trigger="
+            '{"processingTime": "..."} for eviction, or idle_timeout_ms=None '
+            "for drain runs"
+        )
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -124,6 +141,6 @@ def stateful_rollup_stream(
         rolled.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
-        .trigger(availableNow=True)
+        .trigger(**trigger)
         .start()
     )
