@@ -480,3 +480,57 @@ class TestEditUpsert:
         updated, _ = apply_edits(store.results(spark), edits)
         store.upsert(updated, spark)
         assert resume_filter(sdf, store, spark).count() == 0
+
+
+class TestSearchRankedAnalyzer:
+    def test_token_tf_not_substring_tf(self, spark, tmp_path):
+        """ES analyzes extractedText (standard tokenizer + English
+        stopwords) before matching, so the match clause must score
+        ANALYZED-TOKEN frequency: query 'data' scores 'data stream' but
+        not 'database' (substring-tf would score both)."""
+        import pandas as pd
+
+        from unraveldocs_spark.queries import q_search_ranked
+
+        docs = pd.DataFrame(
+            {
+                # doc 1: q appears only INSIDE words -> token tf 0, no
+                # name match -> must be absent from the ranked results
+                "doc_id": [1, 2, 3],
+                "lang": ["en", "en", "en"],
+                "source": ["x", "x", "data"],
+                "text": [
+                    "database metadata datasets",
+                    "data stream and more data",
+                    "nothing relevant here",
+                ],
+            }
+        )
+        sf_dir = str(tmp_path)
+        spark.createDataFrame(docs).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {r.doc_id: r.score_e2 for r in q_search_ranked(spark, sf_dir).collect()}
+        # doc 2: 2 tokens x 2.0 -> 400; doc 3: name token 1.5 + wildcard 1.0 -> 250
+        assert got == {2: 400, 3: 250}
+
+    def test_stopword_query_scores_zero_text_tf(self, spark, tmp_path, monkeypatch):
+        """A stopword query is dropped by the analyzer: its text-match tf
+        must be 0 even when the token literally occurs (the wildcard
+        filename clause, un-analyzed in ES, may still fire)."""
+        import pandas as pd
+
+        from unraveldocs_spark import queries as Q
+
+        assert "the" in Q.ES_ENGLISH_STOPWORDS
+        monkeypatch.setattr(Q, "_SR_QUERY", "the")
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1],
+                "lang": ["en"],
+                "source": ["thesis"],  # wildcard clause: 'thesis-1' contains 'the'
+                "text": ["the the the"],
+            }
+        )
+        sf_dir = str(tmp_path)
+        spark.createDataFrame(docs).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {r.doc_id: r.score_e2 for r in Q.q_search_ranked(spark, sf_dir).collect()}
+        assert got == {1: 100}  # wildcard only; analyzed tf contributes 0

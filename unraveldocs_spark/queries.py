@@ -933,24 +933,48 @@ REGISTRY.update(
 _SR_QUERY = "data"
 _SR_LANG = "en"  # userId-analog must-term
 
+# Lucene EnglishAnalyzer stop set — the `_english_` stopwords the reference
+# index config applies to extractedText (document-settings.json:1-14,
+# DocumentSearchIndex.java:78-79).  Public Lucene constant.
+ES_ENGLISH_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+# the standard analyzer's word segmentation, approximated for this ASCII
+# corpus: lowercase, split on any non-alphanumeric run.  Token match —
+# NOT substring: query 'art' no longer scores against 'startup'.
+_SR_TOKEN_SPLIT = "[^a-z0-9]+"
+
 
 def q_search_ranked(spark, sf_dir):
-    """Deterministic scoring: 2.0 x term frequency of q in text (the
-    match-clause analog, tf via the replace trick), + 1.5 when q is a
-    '-'-token of the derived file name (match on keyword field), + 1.0
-    when the file name merely contains q (wildcard clause).  min_should_
-    match 1 -> keep score > 0; order by (score desc, doc_id) like the ES
-    _score sort with a deterministic tiebreak.  Score emitted as
-    ROUND(score*100) BIGINT (exact: 2a + 1.5b + c is a multiple of 0.5)."""
+    """Deterministic analog of the boosted should-query
+    (DocumentSearchRepository.java:51-66) with ES-analyzer-faithful text
+    matching: extractedText is analyzed (standard tokenizer + English
+    stopwords, document-settings.json:1-14), so the match clause scores
+    2.0 x the frequency of q among ANALYZED TOKENS — lowercased,
+    non-alphanumeric-split, stopwords dropped — not raw substrings.
+    + 1.5 when q is a '-'-token of the derived file name (match on the
+    name field), + 1.0 when the file name merely contains q (the wildcard
+    clause, which in ES really is un-analyzed substring semantics).
+    min_should_match 1 -> keep score > 0; order by (score desc, doc_id)
+    like the ES _score sort with a deterministic tiebreak.  Score emitted
+    as ROUND(score*100) BIGINT (exact: 2a + 1.5b + c is a multiple of
+    0.5)."""
     q = _SR_QUERY
     d = _t(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
     fname = F.lower(
         F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))
     )
-    lt = F.lower(F.col("text"))
-    tf_text = (
-        (F.length(lt) - F.length(F.replace(lt, F.lit(q), F.lit("")))) / F.lit(len(q))
-    ).cast("int")
+    toks = F.split(F.lower(F.col("text")), _SR_TOKEN_SPLIT)
+    stop_arr = F.array(*[F.lit(w) for w in ES_ENGLISH_STOPWORDS])
+    tf_text = F.size(
+        F.filter(
+            toks, lambda t: (t == F.lit(q)) & ~F.array_contains(stop_arr, t)
+        )
+    )
     name_token = F.array_contains(F.split(fname, "-"), q).cast("int")
     name_wild = fname.contains(q).cast("int")
     score_e2 = (
@@ -966,9 +990,10 @@ def q_search_ranked(spark, sf_dir):
 SQL_SEARCH_RANKED = f"""
 WITH scored AS (
   SELECT doc_id,
-         CAST(200 * CAST((length(lower(text))
-                          - length(replace(lower(text), '{_SR_QUERY}', '')))
-                         / {len(_SR_QUERY)} AS INT)
+         CAST(200 * len(list_filter(
+                    string_split_regex(lower(text), '{_SR_TOKEN_SPLIT}'),
+                    t -> t = '{_SR_QUERY}'
+                         AND NOT list_contains({list(ES_ENGLISH_STOPWORDS)!r}, t)))
               + 150 * CASE WHEN list_contains(
                     string_split(lower(source || '-' || CAST(doc_id AS VARCHAR)), '-'),
                     '{_SR_QUERY}') THEN 1 ELSE 0 END
