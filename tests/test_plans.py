@@ -79,6 +79,18 @@ class TestJoinStrategies:
         assert "band_key" in plan
         assert "len_bucket" not in plan
 
+    def test_paragraph_dedup_candidates_use_minhash_bands(self, spark):
+        """Paragraph-grain near-dup reuses the banded candidate generator:
+        the pair join must key on the data-dependent MinHash band key and
+        never degrade to a nested-loop/cartesian over all paragraph
+        pairs (VERDICT r2 item 3)."""
+        from unraveldocs_spark.trainingdata import q_dedup_paragraph
+
+        plan = plan_of(q_dedup_paragraph(spark, SF), "simple")
+        assert "band_key" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_embedding_cosine_candidates_use_signature_bands(self, spark):
         """Cosine near-dup must join on LSH signature bands, not the
         fixed-cardinality label column (VERDICT r1 item 2)."""

@@ -255,7 +255,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-def _duck_minhash_sql(threshold: bool = False) -> str:
+def _duck_minhash_cands_ctes(src: str) -> str:
+    """CTE chain ``sh -> nz -> sigs -> bands -> cands`` computing the
+    MinHash band-collision candidate pairs over any (doc_id, text) source
+    relation — the one generator both the doc-grain and paragraph-grain
+    oracles derive from, so the SQL tracks the shared Python constants."""
     min_exprs = ",\n         ".join(
         f"list_min(list_transform(hs, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P})) AS m{j}"
         for j in range(_MH_K)
@@ -270,16 +274,8 @@ def _duck_minhash_sql(threshold: bool = False) -> str:
         )
         for b in range(_MH_BANDS)
     )
-    where = (
-        f"WHERE len(list_filter(sh_a, x -> list_contains(sh_b, x))) * {_JACCARD_DEN}"
-        f" >= (len(sh_a) + len(sh_b)"
-        f" - len(list_filter(sh_a, x -> list_contains(sh_b, x)))) * {_JACCARD_NUM}\n"
-        if threshold
-        else ""
-    )
-    return f"""
-WITH sh AS (
-  SELECT doc_id, {_DUCK_SHINGLES.format(c="text")} AS sh FROM documents
+    return f"""sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(c="text")} AS sh FROM {src}
 ), nz AS (
   SELECT doc_id, sh,
          list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT % {_MH_P}) AS hs
@@ -295,7 +291,20 @@ WITH sh AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+_DUCK_JAC_WHERE = (
+    f"WHERE len(list_filter(sh_a, x -> list_contains(sh_b, x))) * {_JACCARD_DEN}"
+    f" >= (len(sh_a) + len(sh_b)"
+    f" - len(list_filter(sh_a, x -> list_contains(sh_b, x)))) * {_JACCARD_NUM}\n"
 )
+
+
+def _duck_minhash_sql(threshold: bool = False) -> str:
+    where = _DUCK_JAC_WHERE if threshold else ""
+    return f"""
+WITH {_duck_minhash_cands_ctes("documents")}
 SELECT doc_a, doc_b,
        CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS INT) AS jac_num,
        CAST(len(sh_a) + len(sh_b)
@@ -309,6 +318,125 @@ SQL_DEDUP_MINHASH_LSH = _duck_minhash_sql()
 # same banded candidate generation, thresholded at jaccard >= 2/10 —
 # mirrors q_dedup_ngram_jaccard
 SQL_DEDUP_NGRAM_JACCARD = _duck_minhash_sql(threshold=True)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-grain dedup — the grain a 100-TB corpus prep actually dedups at
+# (boilerplate paragraphs repeat across otherwise-distinct documents)
+# ---------------------------------------------------------------------------
+
+_PARA_WORDS = 16  # deterministic paragraph = 16-word chunk (corpus has no \n)
+_PARA_STRIDE = 1024  # para_id = doc_id * stride + para_idx; docs are << 1024 paras
+
+
+def _paragraphs(d):
+    """documents(doc_id, text) -> one row per 16-word chunk.  The driver
+    corpus is single-line text, so 'paragraph' is a fixed word-window; on
+    real documents the splitter would be split(text, '\\n{2,}') with the
+    same downstream pipeline."""
+    toks = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(_PARA_WORDS)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * _PARA_WORDS + F.lit(1), F.lit(_PARA_WORDS)), " "
+        ),
+    )
+    return d.select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    """Two-stage paragraph-grain dedup: (1) EXACT — hash-groupBy on the
+    paragraph digest keeps one representative per distinct paragraph and
+    counts copies (one shuffle on the digest); (2) NEAR — the shared
+    MinHash band-collision candidate generator (_minhash_candidate_pairs,
+    data-dependent band keys) runs over the distinct paragraphs only,
+    confirmed by exact shingle Jaccard >= 2/10.
+
+    At 100 TB the exact stage shrinks the near-dup input by the duplicate
+    factor before any signature work, and the near stage inherits the
+    banded join's scale properties (never O(n^2/#blocks)).  Output decodes
+    para_id back to (doc, para_idx) and carries each side's exact-copy
+    count, so both stages are driver-hash-verified in one result."""
+    paras = _paragraphs(_t(spark, sf_dir, "documents")).withColumn(
+        "para_id", F.col("doc_id") * _PARA_STRIDE + F.col("para_idx")
+    )
+    keepers = (
+        paras.groupBy(F.md5(F.col("para").cast("binary")).alias("h"))
+        .agg(
+            F.min("para_id").alias("para_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("para").alias("para"),  # all rows in a group are identical
+        )
+        .select("para_id", "n_copies", "para")
+    )
+    cands = _minhash_candidate_pairs(
+        keepers.select(
+            F.col("para_id").alias("doc_id"), _spark_shingles(F.col("para")).alias("sh")
+        ).filter(F.size("sh") > 0)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = cands.select(
+        F.col("doc_a").alias("pa"),
+        F.col("doc_b").alias("pb"),
+        inter.alias("jac_num"),
+        union.alias("jac_den"),
+    ).filter(F.col("jac_num") * _JACCARD_DEN >= F.col("jac_den") * _JACCARD_NUM)
+    copies = keepers.select("para_id", "n_copies")
+    return (
+        pairs.join(copies.withColumnRenamed("n_copies", "copies_a"),
+                   pairs.pa == copies.para_id)
+        .drop("para_id")
+        .join(copies.withColumnRenamed("n_copies", "copies_b"),
+              pairs.pb == copies.para_id)
+        .select(
+            F.expr(f"pa DIV {_PARA_STRIDE}").alias("doc_a"),
+            F.pmod("pa", F.lit(_PARA_STRIDE)).cast("int").alias("para_a"),
+            "copies_a",
+            F.expr(f"pb DIV {_PARA_STRIDE}").alias("doc_b"),
+            F.pmod("pb", F.lit(_PARA_STRIDE)).cast("int").alias("para_b"),
+            "copies_b",
+            "jac_num",
+            "jac_den",
+        )
+        .orderBy("doc_a", "para_a", "doc_b", "para_b")
+    )
+
+
+SQL_DEDUP_PARAGRAPH = f"""
+WITH wtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pidx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {_PARA_WORDS}.0) AS BIGINT))) AS para_idx
+  FROM wtoks
+), paras AS (
+  SELECT doc_id, para_idx,
+         array_to_string(list_slice(toks, para_idx * {_PARA_WORDS} + 1,
+                                    para_idx * {_PARA_WORDS} + {_PARA_WORDS}), ' ') AS para
+  FROM pidx
+), keepers AS (
+  SELECT MIN(doc_id * {_PARA_STRIDE} + para_idx) AS para_id,
+         COUNT(*) AS n_copies, MIN(para) AS para
+  FROM paras GROUP BY md5(para)
+), kdocs AS (
+  SELECT para_id AS doc_id, para AS text FROM keepers
+), {_duck_minhash_cands_ctes("kdocs")}
+SELECT doc_a // {_PARA_STRIDE} AS doc_a,
+       CAST(doc_a % {_PARA_STRIDE} AS INT) AS para_a,
+       ka.n_copies AS copies_a,
+       doc_b // {_PARA_STRIDE} AS doc_b,
+       CAST(doc_b % {_PARA_STRIDE} AS INT) AS para_b,
+       kb.n_copies AS copies_b,
+       CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS INT) AS jac_num,
+       CAST(len(sh_a) + len(sh_b)
+            - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS INT) AS jac_den
+FROM cands
+JOIN keepers ka ON ka.para_id = doc_a
+JOIN keepers kb ON kb.para_id = doc_b
+{_DUCK_JAC_WHERE}ORDER BY doc_a, para_a, doc_b, para_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -584,6 +712,84 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Perplexity-proxy quality score — deterministic bigram "language model"
+# ---------------------------------------------------------------------------
+
+# Each word bigram gets a pseudo negative-log-probability drawn from a
+# deterministic hash table: nll_e4(bigram) = md5-prefix(bigram) mod 6e4,
+# i.e. nll in [0, 6.0000) at e4 scale.  md5 (not mix64) because it is the
+# repo's engine-neutral hash — DuckDB computes the identical table, so the
+# oracle is exact (same construction as the MinHash shingle hashes).  A
+# production deployment would broadcast a real KenLM-style logprob table;
+# the Spark shape — per-row array fold, no shuffle, no Python — is the same.
+_PPL_MOD = 60_000
+
+
+def q_quality_perplexity(spark, sf_dir):
+    """Per-document perplexity proxy: mean bigram NLL under the
+    deterministic hash LM, emitted integer-exact (sum + count + DIV mean;
+    no float crosses the engine boundary).  Lower mean_nll_e4 = more
+    'predictable' text — the Gopher/CCNet-style quality gate signal."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )  # NOT distinct: repeated bigrams re-contribute, like a real LM score
+    nll = F.transform(
+        bigrams,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 14), 16, 10).cast("bigint"),
+            F.lit(_PPL_MOD),
+        ),
+    )
+    n_bigrams = F.when(n >= 2, n - 1).otherwise(F.lit(0)).cast("int")
+    sum_nll = F.when(
+        n >= 2, F.aggregate(nll, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        d.select(
+            "doc_id",
+            n_bigrams.alias("n_bigrams"),
+            sum_nll.alias("sum_nll_e4"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_nll_e4",
+            F.when(
+                F.col("n_bigrams") > 0, F.expr("sum_nll_e4 DIV n_bigrams")
+            ).alias("mean_nll_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY_PERPLEXITY = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                     i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 14))::BIGINT
+                          % {_PPL_MOD})
+              ELSE [] END AS nll
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(nll) AS INT) AS n_bigrams,
+       CAST(COALESCE(list_sum(nll), 0) AS BIGINT) AS sum_nll_e4,
+       CASE WHEN len(nll) > 0
+            THEN CAST(CAST(list_sum(nll) AS BIGINT) // len(nll) AS BIGINT)
+            ELSE NULL END AS mean_nll_e4
+FROM b ORDER BY doc_id
+"""
+
+
 _FP_MOD = 1_000_000_007
 _FP_BASE = 131
 
@@ -734,6 +940,7 @@ TRAINING_REGISTRY: dict[str, dict] = {
         "sql": SQL_DEDUP_NGRAM_JACCARD,
     },
     "dedup_minhash_lsh": {"builder": q_dedup_minhash_lsh, "sql": SQL_DEDUP_MINHASH_LSH},
+    "dedup_paragraph": {"builder": q_dedup_paragraph, "sql": SQL_DEDUP_PARAGRAPH},
     "dedup_embedding_cosine": {
         "builder": q_dedup_embedding_cosine,
         "sql": SQL_DEDUP_EMBEDDING_COSINE,
@@ -744,6 +951,10 @@ TRAINING_REGISTRY: dict[str, dict] = {
         "sql": SQL_LANG_STOPWORD_RATIO,
     },
     "quality_score": {"builder": q_quality_score, "sql": SQL_QUALITY_SCORE},
+    "quality_perplexity": {
+        "builder": q_quality_perplexity,
+        "sql": SQL_QUALITY_PERPLEXITY,
+    },
     "token_count": {"builder": q_token_count, "sql": SQL_TOKEN_COUNT},
     "doc_fingerprint": {"builder": q_doc_fingerprint, "sql": SQL_DOC_FINGERPRINT},
     "multimodal_meta": {"builder": q_multimodal_meta, "sql": SQL_MULTIMODAL_META},
