@@ -29,6 +29,47 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 # small sf files: split scans finer so they fan out across local cores
 os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m")
 
+
+def _parse_cores(spec: str) -> set[int]:
+    """'0-3,8' -> {0,1,2,3,8}"""
+    out: set[int] = set()
+    for part in spec.split(","):
+        if "-" in part:
+            lo, hi = part.split("-")
+            out.update(range(int(lo), int(hi) + 1))
+        else:
+            out.add(int(part))
+    return out
+
+
+def _apply_core_pinning() -> None:
+    """Dedicated-core-executor analog for the scaling measurement: pin the
+    JVM side (scan/Arrow/shuffle threads — inherited from this process) and
+    the forked Python workers (via a PYSPARK_PYTHON shim that resets its
+    own affinity) to DISJOINT core sets, so a wide leg's workers never
+    fight the JVM for the same cores the way an unpinned local[] does.
+    Real executors get dedicated cores from the cluster manager; this
+    reproduces that isolation on the shared sandbox box."""
+    pin_jvm = os.environ.get("SPARK_GRAFT_PIN_JVM")
+    pin_py = os.environ.get("SPARK_GRAFT_PIN_PY")
+    if pin_jvm:
+        os.sched_setaffinity(0, _parse_cores(pin_jvm))
+    if pin_py:
+        cores = sorted(_parse_cores(pin_py))
+        shim = os.path.join("/tmp", f"pyspark-pin-{os.getpid()}.py")
+        with open(shim, "w") as f:
+            f.write(
+                f"#!{sys.executable}\n"
+                "import os, sys\n"
+                f"os.sched_setaffinity(0, {set(cores)!r})\n"
+                f"os.execv({sys.executable!r}, [{sys.executable!r}] + sys.argv[1:])\n"
+            )
+        os.chmod(shim, 0o755)
+        os.environ["PYSPARK_PYTHON"] = shim
+
+
+_apply_core_pinning()
+
 # transcripts scale: proportional to the sf of the testdata dir
 # (sf0.1 -> 5000 convs x median 100 turns ~= 500k turns + 10x-median hot conv;
 #  FIXTURES.md §5 sf-bench)
@@ -66,6 +107,8 @@ HEADLINE_QUERIES = (
     "provider_resolution",
     "pdf_layout",
     "extract_turns",
+    "dedup_paragraph",
+    "quality_perplexity",
 )
 
 

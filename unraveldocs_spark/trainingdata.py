@@ -713,6 +713,196 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Stratified corpus sampling — hash-threshold Bernoulli, zero shuffle
+# ---------------------------------------------------------------------------
+
+# per-language keep rates (per 10,000 docs) — the domain-mix knob of a
+# training-data pipeline.  In production this dim comes from a config
+# table; it is broadcast so sampling never shuffles the corpus.
+_SAMPLE_RATES_E4 = (("en", 2500), ("de", 5000), ("es", 5000),
+                    ("fr", 7500), ("zh", 7500))
+_SAMPLE_DEFAULT_E4 = 1000
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic stratified sample: keep a doc iff its md5-derived
+    sample key (uniform over [0, 10000)) falls under its language's rate.
+
+    100-TB shape: a broadcast rate dim + a per-row hash filter — ZERO
+    shuffles, no window, no per-lang top-K (a row_number() per language
+    would funnel each language through one partition).  Deterministic
+    across runs and engines (md5, not rand()), so resume/replay see the
+    same sample."""
+    d = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(_SAMPLE_RATES_E4), "lang string, rate_e4 int"
+    )
+    key = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 14),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(10000),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang", "left")
+        .withColumn("sample_key", key.cast("int"))
+        .filter(
+            F.col("sample_key")
+            < F.coalesce(F.col("rate_e4"), F.lit(_SAMPLE_DEFAULT_E4))
+        )
+        .select("doc_id", "lang", "sample_key")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CORPUS_SAMPLE = f"""
+WITH rates(lang, rate_e4) AS (
+  VALUES {", ".join(f"('{k}', {v})" for k, v in _SAMPLE_RATES_E4)}
+), keyed AS (
+  SELECT doc_id, d.lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+              % 10000 AS INT) AS sample_key,
+         rate_e4
+  FROM documents d LEFT JOIN rates ON d.lang = rates.lang
+)
+SELECT doc_id, lang, sample_key
+FROM keyed WHERE sample_key < COALESCE(rate_e4, {_SAMPLE_DEFAULT_E4})
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN join — top-k nearest neighbors for EVERY vector, banded candidates
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def q_knn_join(spark, sf_dir):
+    """All-pairs top-k neighbor join over the embedding corpus: candidates
+    from the same random-hyperplane LSH bands as dedup_embedding_cosine
+    (data-dependent band values, never a cross join), symmetrized so each
+    vector ranks ALL its banded candidates, then a per-vector window keeps
+    the top k by (cos_e4 desc, nbr_id).
+
+    This is the similarity-graph builder (dedup clustering, semantic
+    nearest-neighbor graphs) — distinct from ann_*_topk, which answer ONE
+    query vector.  At 100 TB: candidate generation inherits the banded
+    join's scale; the rank window shuffles on vec_id only (uniform key),
+    and ranking uses the e4-rounded cosine so the order is integer-stable
+    across engines."""
+    from .similarity import EMB_DIM, signature_stage
+
+    e = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = e.select("vec_id", dv.alias("v"), norm.alias("nrm")).select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit")
+    )
+    sigs = signature_stage(e, dim=EMB_DIM).select("vec_id", "signature")
+    mask = (1 << _EC_BAND_BITS) - 1
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("signature"), b * _EC_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(_EC_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    # a.vec_id != b.vec_id (not <): each vector must see every candidate
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id"))
+        .dropDuplicates(["vec_id", "nbr_id"])
+    )
+    ua = unit.select(F.col("vec_id").alias("vec_id"), F.col("unit").alias("unit_a"))
+    ub = unit.select(F.col("vec_id").alias("nbr_id"), F.col("unit").alias("unit_b"))
+    cos = F.aggregate(
+        F.zip_with(F.col("unit_a"), F.col("unit_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        cand_ids.join(ua, "vec_id")
+        .join(ub, "nbr_id")
+        .select(
+            "vec_id", "nbr_id",
+            F.round(cos * 10000).cast("bigint").alias("cos_e4"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_e4").desc(), F.col("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _duck_knn_join_sql() -> str:
+    from .oracle_sql_gen import lsh_signature_sql_expr
+
+    band_structs = ", ".join(
+        "{'band_idx': %d, 'band_val': (sig >> %d) & %d}"
+        % (b, b * _EC_BAND_BITS, (1 << _EC_BAND_BITS) - 1)
+        for b in range(_EC_BANDS)
+    )
+    return f"""
+WITH dv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum'))) AS unit,
+         {lsh_signature_sql_expr('v')} AS sig
+  FROM dv
+), bands AS (
+  SELECT vec_id, unit, unnest([{band_structs}], recursive := true) FROM u
+), cands AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                  a.unit AS unit_a, b.unit AS unit_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT vec_id, nbr_id,
+         CAST(ROUND(list_aggregate(list_transform(list_zip(unit_a, unit_b),
+                                                  p -> p[1] * p[2]), 'sum')
+                    * 10000) AS BIGINT) AS cos_e4
+  FROM cands
+), ranked AS (
+  SELECT vec_id, nbr_id, cos_e4,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_e4 DESC, nbr_id) AS INT) AS rank
+  FROM scored
+)
+SELECT vec_id, nbr_id, cos_e4, rank FROM ranked
+WHERE rank <= {_KNN_K} ORDER BY vec_id, rank
+"""
+
+
+SQL_KNN_JOIN = _duck_knn_join_sql()
+
+
+# ---------------------------------------------------------------------------
 # Perplexity-proxy quality score — deterministic bigram "language model"
 # ---------------------------------------------------------------------------
 
@@ -941,6 +1131,8 @@ TRAINING_REGISTRY: dict[str, dict] = {
     },
     "dedup_minhash_lsh": {"builder": q_dedup_minhash_lsh, "sql": SQL_DEDUP_MINHASH_LSH},
     "dedup_paragraph": {"builder": q_dedup_paragraph, "sql": SQL_DEDUP_PARAGRAPH},
+    "corpus_sample": {"builder": q_corpus_sample, "sql": SQL_CORPUS_SAMPLE},
+    "knn_join": {"builder": q_knn_join, "sql": SQL_KNN_JOIN},
     "dedup_embedding_cosine": {
         "builder": q_dedup_embedding_cosine,
         "sql": SQL_DEDUP_EMBEDDING_COSINE,
