@@ -91,6 +91,16 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_sessionize_plans_a_single_hash_exchange(self, spark):
+        """Gap sessionization must reuse ONE user_id partitioning for the
+        lag window, the running-sum window, and the rollup — a plan with
+        a second hashpartitioning Exchange re-shuffles the event log."""
+        from unraveldocs_spark.trainingdata import q_sessionize
+
+        plan = plan_of(q_sessionize(spark, SF), "simple")
+        assert plan.count("hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
+
     def test_corpus_sample_broadcasts_rates_and_never_shuffles_corpus(self, spark):
         """Stratified sampling must be a broadcast rate dim + per-row hash
         filter: the corpus itself is never hash-shuffled (the only Exchange

@@ -376,3 +376,31 @@ class TestMultimodalResizeFeatures:
             for b in text.encode("utf-8")[:64]:
                 bins[b % FEATURE_BINS] += 1
             assert got[doc_id] == "|".join(str(v) for v in bins)
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        """Min-label propagation must resolve transitive chains (a~b, b~c
+        => one cluster) and keep disconnected components apart."""
+        from unraveldocs_spark.trainingdata import connected_components
+
+        pairs = spark.createDataFrame(
+            # chain 1-2-3-4 (diameter 3), island pair 10-11, triangle 20-21-22
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = {r.doc_id: r.label for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        """A path graph is the worst case for propagation depth: labels
+        must still converge within the iteration cap."""
+        from unraveldocs_spark.trainingdata import connected_components
+
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.label for r in connected_components(pairs).collect()}
+        assert got == {i: 0 for i in range(n + 1)}

@@ -119,6 +119,23 @@ def q_dedup_ngram_jaccard_blocked(spark, sf_dir):
     )
 
 
+def _jaccard_pairs(spark, sf_dir):
+    """Thresholded near-dup pairs (unordered): MinHash-band candidates
+    confirmed by exact shingle Jaccard >= 2/10.  Shared by the ranked
+    pair query below and the cluster-resolution query, which must not
+    inherit an ORDER BY it immediately discards."""
+    cands = _minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return cands.select(
+        "doc_a", "doc_b", inter.alias("jac_num"), union.alias("jac_den")
+    ).filter(F.col("jac_num") * _JACCARD_DEN >= F.col("jac_den") * _JACCARD_NUM)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard >= 2/10 over MinHash-band candidate pairs.
 
@@ -129,20 +146,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     with one array_intersect.  Recall below the ~0.2 threshold is
     governed by the (bands, rows) LSH curve — the trade every
     production MinHash dedup makes."""
-    cands = _minhash_candidate_pairs(
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cands.select(
-            "doc_a", "doc_b", inter.alias("jac_num"), union.alias("jac_den")
-        )
-        .filter(F.col("jac_num") * _JACCARD_DEN >= F.col("jac_den") * _JACCARD_NUM)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -713,6 +717,115 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20
+
+
+def q_dedup_cluster(spark, sf_dir):
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components over the thresholded MinHash-band pair graph, labeling
+    every member with the component's minimum doc_id (the keeper).  This
+    is the step that turns pairwise dedup output into a keep/drop
+    decision when duplicates form chains (a~b, b~c but not a~c).
+
+    Spark shape: iterative min-label propagation — each round joins the
+    symmetrized edge list against current labels, takes the per-node min
+    of (own label, neighbors' labels), and stops when no label changed.
+    Near-dup components are dense (quasi-cliques), so the diameter — and
+    the round count — is small regardless of corpus size; every round is
+    two equi-joins + one groupBy, all on doc_id keys.  At 10^12 docs the
+    same loop runs with large-star/small-star edge rewriting to bound the
+    per-round shuffle; the driver only ever sees one boolean per round
+    (the convergence check), never row data."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def connected_components(pairs, max_iters: int = _CC_MAX_ITERS):
+    """(doc_a, doc_b) pair DataFrame -> (doc_id, label) with label = the
+    minimum doc_id reachable in the undirected pair graph.  Iterative
+    min-label propagation; each round is two equi-joins + a groupBy on
+    doc_id keys, and the driver sees only a per-round converged boolean.
+
+    Every round's labels are localCheckpoint()ed: each iteration's plan
+    references the previous labels TWICE (propagation + convergence
+    check), so without lineage truncation the logical plan doubles per
+    round and the analyzer itself OOMs after ~10 rounds — caching alone
+    does not cut the logical plan.  A cluster deployment uses reliable
+    checkpoint() to HDFS/object storage for the same reason (plus
+    executor-loss recovery); localCheckpoint is its single-node stand-in."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE {_duck_minhash_cands_ctes("documents")}, pairs AS (
+  SELECT doc_a, doc_b FROM cands
+  {_DUCK_JAC_WHERE}
+), und AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), reach(a, b) AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.a, u.t FROM reach r JOIN und u ON r.b = u.s
+), lbl AS (
+  SELECT a AS doc_id, MIN(LEAST(a, b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lbl ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stratified corpus sampling — hash-threshold Bernoulli, zero shuffle
 # ---------------------------------------------------------------------------
 
@@ -900,6 +1013,74 @@ WHERE rank <= {_KNN_K} ORDER BY vec_id, rank
 
 
 SQL_KNN_JOIN = _duck_knn_join_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based session assembly over the events stream
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800  # 30-minute inactivity closes a session
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization: per-user event streams split into
+    sessions wherever the inter-event gap exceeds 30 minutes, rolled up
+    to one row per session.  The canonical event-log prep step for
+    behavioral training data.
+
+    Scale shape: ONE shuffle on user_id; both windows (lag for the gap,
+    running sum for the session ordinal) and the final rollup share that
+    partitioning, so Catalyst plans a single Exchange.  Timestamps are
+    compared at whole-second grain (cast to long == floor epoch seconds
+    on both engines) so the oracle is integer-exact."""
+    from pyspark.sql.window import Window
+
+    # events.ts is TIMESTAMP_NTZ; the session tz is pinned to UTC
+    # (session.py), so unix_timestamp == DuckDB's date_part('epoch') on
+    # the same naive value (ANSI forbids a direct NTZ -> BIGINT cast)
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp(F.col("ts")).alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gap = F.col("es") - F.lag("es").over(w)
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0)
+    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_seq", seq.cast("int"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("es").alias("start_epoch"),
+            F.max("es").alias("end_epoch"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (
+  -- floor to whole seconds at the source: DuckDB's epoch() is a DOUBLE
+  -- with fractional seconds and its BIGINT cast ROUNDS, while Spark's
+  -- unix_timestamp floors — floor here so both engines see identical es
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), g AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN LAG(es) OVER w IS NULL
+                OR es - LAG(es) OVER w > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+), s AS (
+  SELECT user_id, es,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(es) AS start_epoch,
+       MAX(es) AS end_epoch
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1133,6 +1314,8 @@ TRAINING_REGISTRY: dict[str, dict] = {
     "dedup_paragraph": {"builder": q_dedup_paragraph, "sql": SQL_DEDUP_PARAGRAPH},
     "corpus_sample": {"builder": q_corpus_sample, "sql": SQL_CORPUS_SAMPLE},
     "knn_join": {"builder": q_knn_join, "sql": SQL_KNN_JOIN},
+    "dedup_cluster": {"builder": q_dedup_cluster, "sql": SQL_DEDUP_CLUSTER},
+    "sessionize": {"builder": q_sessionize, "sql": SQL_SESSIONIZE},
     "dedup_embedding_cosine": {
         "builder": q_dedup_embedding_cosine,
         "sql": SQL_DEDUP_EMBEDDING_COSINE,
