@@ -226,3 +226,57 @@ def test_stateful_rollup_idle_timeout_evicts(spark, tmp_path):
         assert (f.total_turns, f.completed, f.failed) == (
             b.total_turns, b.completed, b.failed), conv_id
         assert f.collection_status == b.collection_status
+
+
+def test_stream_dedup_ingest_commits_each_digest_once(spark, tmp_path):
+    """Incremental exact dedup: duplicate texts arriving in LATER
+    micro-batches (and duplicated within a batch) must not reach the
+    committed corpus; replaying the whole stream must not re-add them."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from unraveldocs_spark.schemas import DEDUP_INGEST_SCHEMA
+    from unraveldocs_spark.streaming import stream_dedup_ingest
+
+    pdf1 = G.transcripts_pandas(3, hot_factor=1, include_oversize=False)
+    # batch 2: same texts under new conversation ids (pure cross-batch
+    # duplicates) plus one genuinely new row
+    pdf2 = pdf1.copy()
+    pdf2["conv_id"] = pdf2["conv_id"] + "-dup"
+    new_row = pdf1.iloc[[0]].copy()
+    new_row["conv_id"] = "conv-new"
+    new_row["text"] = "genuinely new text"
+    pdf2 = __import__("pandas").concat([pdf2, new_row], ignore_index=True)
+
+    input_dir = str(tmp_path / "dd-in")
+    spark.createDataFrame(pdf1, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+    spark.createDataFrame(pdf2, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    store = DirCheckpointStore(
+        str(tmp_path / "dd-store"), results_schema=DEDUP_INGEST_SCHEMA
+    )
+    ckpt = str(tmp_path / "dd-ckpt")
+    q = stream_dedup_ingest(spark, input_dir, store, ckpt)
+    q.awaitTermination(120)
+
+    results = store.results(spark)
+    n_distinct_texts = len(set(pdf1.text) | {"genuinely new text"})
+    assert results.count() == n_distinct_texts
+    assert results.select("digest").distinct().count() == n_distinct_texts
+    # keepers are deterministic minima: no keeper comes from a -dup conv
+    # unless its text only ever appeared there
+    dup_keepers = results.filter(F.col("conv_id").endswith("-dup")).count()
+    assert dup_keepers == 0
+
+    # full replay (wipe source offsets, keep store): no duplicates added
+    n_snaps = len(store.snapshots())
+    shutil.rmtree(ckpt)
+    q2 = stream_dedup_ingest(spark, input_dir, store, ckpt)
+    q2.awaitTermination(120)
+    assert len(store.snapshots()) == n_snaps
+    assert store.results(spark).count() == n_distinct_texts

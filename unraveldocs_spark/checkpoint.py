@@ -48,10 +48,14 @@ KEYS = ["conv_id", "turn_idx"]
 class DirCheckpointStore:
     """Parquet-directory snapshot store with atomic publish-by-rename."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, results_schema=None):
         self.root = root
         self.snap_dir = os.path.join(root, "snapshots")
         os.makedirs(self.snap_dir, exist_ok=True)
+        # declared (not inferred) result schema; the extraction pipeline's
+        # by default, overridable for stores of other row types (e.g. the
+        # streaming dedup ingest's digest table)
+        self.results_schema = results_schema or EXTRACTIONS_SCHEMA
         # manifest cache keyed by snapshot name: manifests are immutable
         # once published (atomic rename), so each is parsed at most once
         # per store instance — has_run on every micro-batch is then
@@ -175,8 +179,8 @@ class DirCheckpointStore:
             for s in self._live_snapshots()
         ]
         if not paths:
-            return spark.createDataFrame([], EXTRACTIONS_SCHEMA)
-        return spark.read.schema(EXTRACTIONS_SCHEMA).parquet(*paths)
+            return spark.createDataFrame([], self.results_schema)
+        return spark.read.schema(self.results_schema).parquet(*paths)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         paths = [

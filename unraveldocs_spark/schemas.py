@@ -56,6 +56,17 @@ EXTRACTIONS_SCHEMA = StructType(
     ]
 )
 
+# Streaming incremental dedup: one committed row per DISTINCT content
+# digest across the stream's life (streaming.stream_dedup_ingest)
+DEDUP_INGEST_SCHEMA = StructType(
+    [
+        StructField("digest", StringType(), False),
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
 # Lineage: one row per task partition per run (north rule: per-partition
 # lineage + metrics; analog of OcrMetrics counters, OcrMetrics.java:42-157)
 LINEAGE_SCHEMA = StructType(

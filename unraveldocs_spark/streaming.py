@@ -68,3 +68,62 @@ def stream_extract(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_path: str,
+    store,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Incremental exact dedup at ingestion: each micro-batch commits one
+    row per content digest that is (a) first within the batch — the
+    keeper is the minimum (conv_id, turn_idx), deterministic under
+    replay — and (b) unseen in any committed snapshot, via a left-anti
+    join against the store's digest column.  The committed corpus stays
+    duplicate-free across the stream's life without ever rewriting it.
+
+    Scale shape: the anti-join's right side is a column-pruned scan of
+    the committed digests only (32-byte strings, never the text), and
+    the within-batch dedup is one window over the digest key.  The same
+    run_id-keyed idempotent commit as stream_extract makes replays
+    no-ops; construct the store with
+    ``DirCheckpointStore(root, results_schema=DEDUP_INGEST_SCHEMA)``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+
+    def commit_batch(batch_df, batch_id: int):
+        run_id = f"dedup-batch-{batch_id}"
+        try:
+            if store.has_run(run_id):
+                return
+        except NotImplementedError:
+            pass
+        batch = batch_df.withColumn(
+            "digest", F.md5(F.col("text").cast("binary"))
+        )
+        w = Window.partitionBy("digest").orderBy("conv_id", "turn_idx")
+        firsts = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("digest", "conv_id", "turn_idx", "text")
+        )
+        seen = store.results(batch_df.sparkSession).select("digest")
+        fresh = firsts.join(seen, "digest", "left_anti")
+        store.append(fresh, lineage=None, run_id=run_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1016,6 +1016,54 @@ SQL_KNN_JOIN = _duck_knn_join_sql()
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured extraction — JSON props over the events stream
+# ---------------------------------------------------------------------------
+
+def q_props_extract(spark, sf_dir):
+    """Extract a typed field from the events' JSON ``props`` column and
+    aggregate per event type — the semi-structured projection every event
+    log needs before it can feed a pipeline.
+
+    get_json_object is a JVM expression (Jackson under codegen), so the
+    extraction never leaves the executor; one shuffle for the low-
+    cardinality groupBy.  Mean emitted via integer DIV (sum + count ride
+    along), per the FP-parity rules."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.coalesce(F.col("sum_k"), F.lit(0)).alias("sum_k"),
+            F.when(F.col("n_k") > 0, F.expr("sum_k DIV n_k")).alias("mean_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PROPS_EXTRACT = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       CASE WHEN COUNT(k) > 0
+            THEN CAST(SUM(k) AS BIGINT) // COUNT(k)
+            ELSE NULL END AS mean_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sessionization — gap-based session assembly over the events stream
 # ---------------------------------------------------------------------------
 
@@ -1316,6 +1364,7 @@ TRAINING_REGISTRY: dict[str, dict] = {
     "knn_join": {"builder": q_knn_join, "sql": SQL_KNN_JOIN},
     "dedup_cluster": {"builder": q_dedup_cluster, "sql": SQL_DEDUP_CLUSTER},
     "sessionize": {"builder": q_sessionize, "sql": SQL_SESSIONIZE},
+    "props_extract": {"builder": q_props_extract, "sql": SQL_PROPS_EXTRACT},
     "dedup_embedding_cosine": {
         "builder": q_dedup_embedding_cosine,
         "sql": SQL_DEDUP_EMBEDDING_COSINE,
