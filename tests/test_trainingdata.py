@@ -404,3 +404,36 @@ class TestConnectedComponents:
         )
         got = {r.doc_id: r.label for r in connected_components(pairs).collect()}
         assert got == {i: 0 for i in range(n + 1)}
+
+    def test_star_algorithm_matches_propagation(self, spark):
+        """large-star/small-star (the O(log n)-round, skew-safe variant)
+        must produce identical component labels to min-label propagation
+        on random graphs, paths, and hub stars."""
+        from unraveldocs_spark.generator import mix64
+        from unraveldocs_spark.trainingdata import (
+            connected_components,
+            connected_components_star,
+        )
+
+        def labels_of(fn, edge_list):
+            df = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+            return sorted((r.doc_id, r.label) for r in fn(df).collect())
+
+        cases = [
+            [(i, i + 1) for i in range(9)],                      # path
+            [(0, i) for i in range(1, 12)],                      # hub star
+            [(1, 2), (3, 4), (5, 6)],                            # disjoint pairs
+        ]
+        for seed, n_edges in ((1, 12), (2, 25), (3, 45)):        # random graphs
+            n = 30
+            cases.append(
+                [
+                    (mix64(seed * 1000 + k) % n, mix64(seed * 1000 + k + 500) % n)
+                    for k in range(n_edges)
+                ]
+            )
+        for edge_list in cases:
+            edge_list = [(a, b) for a, b in edge_list if a != b]
+            assert labels_of(connected_components_star, edge_list) == labels_of(
+                connected_components, edge_list
+            ), edge_list

@@ -825,6 +825,83 @@ FROM lbl ORDER BY doc_id
 """
 
 
+def connected_components_star(pairs, max_iters: int = _CC_MAX_ITERS):
+    """Skew-safe connected components: alternating large-star/small-star
+    edge rewriting (Kiveris et al., 'Connected Components in MapReduce and
+    Beyond', SOCC'14) until the edge set is a star forest, then read the
+    labels off the stars.
+
+    Why a second implementation: min-label propagation's round count is
+    the component DIAMETER, and its per-round join fans every neighbor
+    list through the shuffle — fine for quasi-clique near-dup clusters,
+    but a pathological chain (or a hub component at 10^12 docs) makes it
+    slow or skewed.  The star algorithm converges in O(log n) rounds on
+    ANY topology and every operation here is groupBy-min + equi-join —
+    no neighborhood is ever collected into one task.  Both
+    implementations are property-tested equal; q_dedup_cluster keeps the
+    simple one because near-dup components are shallow.
+
+    Returns (doc_id, label) like connected_components."""
+    und = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = und.select(F.col("doc_a").alias("doc_id")).distinct().localCheckpoint()
+    # canonical edge orientation (u > v), self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(e):
+        # neighbors of u over BOTH directions; attach every neighbor
+        # strictly larger than u to m(u) = min(neighbors(u), u)
+        und_e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und_e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            und_e.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e):
+        # edges already oriented u > v; attach all small neighbors of u
+        # (and u itself) to m(u) = min small neighbor
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        attach_small = (
+            e.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        attach_self = m.select(F.col("u"), F.col("m").alias("v"))
+        return attach_small.union(attach_self).distinct()
+
+    for _ in range(max_iters):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # star forest: every non-root points at its component min; roots are
+    # nodes never appearing on the u side
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
+    roots = nodes.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("label"))
+    return labels.union(roots)
+
+
 # ---------------------------------------------------------------------------
 # Stratified corpus sampling — hash-threshold Bernoulli, zero shuffle
 # ---------------------------------------------------------------------------
