@@ -109,6 +109,11 @@ HEADLINE_QUERIES = (
     "extract_turns",
     "dedup_paragraph",
     "quality_perplexity",
+    "dedup_cluster",
+    "knn_join",
+    "corpus_sample",
+    "sessionize",
+    "props_extract",
 )
 
 

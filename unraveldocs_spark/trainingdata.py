@@ -1093,6 +1093,74 @@ SQL_KNN_JOIN = _duck_knn_join_sql()
 
 
 # ---------------------------------------------------------------------------
+# Embedding quantization — symmetric int8, per-vector scale
+# ---------------------------------------------------------------------------
+
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding corpus: per-vector
+    scale = max|x|, q_i = round(x_i * 127 / scale) — the 4x storage shrink
+    (and SIMD dot-product enabler) a 100-TB embedding store runs before
+    ANN serving.  Pure JVM array fold per row, zero shuffles before the
+    deterministic output sort.
+
+    Output is integer-exact per the FP-parity rules: the scale at e6 and
+    summary statistics of the quantized vector (sum, L1, saturation
+    count) instead of a float array crossing the engine boundary."""
+    e = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.aggregate(
+        dv, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * F.lit(127.0) / F.col("scale")).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    return (
+        e.select("vec_id", dv.alias("v"), scale.alias("scale"))
+        .select("vec_id", "scale", q.alias("q"))
+        .select(
+            "vec_id",
+            F.round(F.col("scale") * 1_000_000).cast("bigint").alias("scale_e6"),
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("sum_q"),
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+            ).alias("l1_q"),
+            F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127)).alias("n_sat"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMBED_QUANTIZE = """
+WITH dv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM dv
+), qq AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(round(x * 127.0 / scale) AS INT))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM s
+)
+SELECT vec_id,
+       CAST(ROUND(scale * 1000000) AS BIGINT) AS scale_e6,
+       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q,
+       CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat
+FROM qq ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured extraction — JSON props over the events stream
 # ---------------------------------------------------------------------------
 
@@ -1442,6 +1510,7 @@ TRAINING_REGISTRY: dict[str, dict] = {
     "dedup_cluster": {"builder": q_dedup_cluster, "sql": SQL_DEDUP_CLUSTER},
     "sessionize": {"builder": q_sessionize, "sql": SQL_SESSIONIZE},
     "props_extract": {"builder": q_props_extract, "sql": SQL_PROPS_EXTRACT},
+    "embed_quantize": {"builder": q_embed_quantize, "sql": SQL_EMBED_QUANTIZE},
     "dedup_embedding_cosine": {
         "builder": q_dedup_embedding_cosine,
         "sql": SQL_DEDUP_EMBEDDING_COSINE,
