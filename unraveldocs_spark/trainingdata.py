@@ -825,6 +825,21 @@ FROM lbl ORDER BY doc_id
 """
 
 
+def q_dedup_cluster_star(spark, sf_dir):
+    """q_dedup_cluster's output computed by the skew-safe large-star/
+    small-star algorithm instead of min-label propagation — same oracle,
+    so the alternative implementation is driver-hash-verified end-to-end,
+    not just property-tested against its sibling."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 def connected_components_star(pairs, max_iters: int = _CC_MAX_ITERS):
     """Skew-safe connected components: alternating large-star/small-star
     edge rewriting (Kiveris et al., 'Connected Components in MapReduce and
@@ -1511,6 +1526,7 @@ TRAINING_REGISTRY: dict[str, dict] = {
     "sessionize": {"builder": q_sessionize, "sql": SQL_SESSIONIZE},
     "props_extract": {"builder": q_props_extract, "sql": SQL_PROPS_EXTRACT},
     "embed_quantize": {"builder": q_embed_quantize, "sql": SQL_EMBED_QUANTIZE},
+    "dedup_cluster_star": {"builder": q_dedup_cluster_star, "sql": SQL_DEDUP_CLUSTER},
     "dedup_embedding_cosine": {
         "builder": q_dedup_embedding_cosine,
         "sql": SQL_DEDUP_EMBEDDING_COSINE,
