@@ -425,6 +425,35 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_group_stats_cube(spark, sf_dir):
+    """CUBE(lang, source): the admin-stats rollup at every grouping grain
+    in one pass — per (lang, source), per lang, per source, and the grand
+    total, with NULL as the all-values marker on both engines.
+
+    Scale shape: Spark expands the cube map-side (one Expand node) and
+    aggregates through a single shuffle — same cost class as the flat
+    groupBy, not 4 separate scans."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(
+            F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first()
+        )
+    )
+
+
+SQL_GROUP_STATS_CUBE = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+"""
+
+
 def q_union_shards(spark, sf_dir):
     """unionByName checkpoint-shard stitch (SURVEY.md §2.8)."""
     d = _t(spark, sf_dir, "documents")
@@ -701,6 +730,7 @@ REGISTRY: dict[str, dict] = {
     "time_window_counts": {"builder": q_time_window_counts, "sql": SQL_TIME_WINDOW_COUNTS},
     "distinct_count": {"builder": q_distinct_count, "sql": SQL_DISTINCT_COUNT},
     "group_stats": {"builder": q_group_stats, "sql": SQL_GROUP_STATS},
+    "group_stats_cube": {"builder": q_group_stats_cube, "sql": SQL_GROUP_STATS_CUBE},
     "union_shards": {"builder": q_union_shards, "sql": SQL_UNION_SHARDS},
     "pdf_extension_predicate": {
         "builder": q_pdf_extension_predicate,

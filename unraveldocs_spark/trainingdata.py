@@ -1108,6 +1108,118 @@ SQL_KNN_JOIN = _duck_knn_join_sql()
 
 
 # ---------------------------------------------------------------------------
+# As-of lookup — most recent prior matching event, windowed (no join)
+# ---------------------------------------------------------------------------
+
+def q_asof_last_error(spark, sf_dir):
+    """For every event: the epoch of the SAME user's most recent strictly
+    earlier 'error' event — as-of join semantics expressed as a
+    conditional running max over an ordered window, so it costs one
+    shuffle on user_id instead of a range join.  This is the standard
+    Spark re-expression when the as-of lookup is against the same (or a
+    unionable) stream; a two-table as-of at 100 TB unions the tables with
+    a side tag and runs the identical window."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts")).alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_err = F.max(
+        F.when(F.col("event_type") == "error", F.col("es"))
+    ).over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "es",
+            last_err.alias("last_error_epoch"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF_LAST_ERROR = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+)
+SELECT event_id, user_id, es,
+       MAX(CASE WHEN event_type = 'error' THEN es END) OVER (
+         PARTITION BY user_id ORDER BY es, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ) AS last_error_epoch
+FROM e ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group percentiles — rank selection, no approximation
+# ---------------------------------------------------------------------------
+
+_PCTL_Q = (50, 90)
+
+
+def q_corpus_percentiles(spark, sf_dir):
+    """Exact p50/p90 of document length per language via rank selection:
+    row_number over (lang, n_chars, doc_id) and pick the row at rank
+    1 + floor(q*(n-1)/100) — the lower-interpolation definition, which is
+    integer-exact and engine-identical (approx_percentile would not
+    hash-match and percentile_cont returns floats).
+
+    Scale shape: one shuffle on lang for the window; the per-group sort is
+    the unavoidable cost of EXACT percentiles (the approximate path is
+    approx_percentile when 1% error is acceptable)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == 1 + F.floor(F.lit(q) * (F.col("n") - 1) / 100),
+                F.col("n_chars"),
+            )
+        ).alias(f"p{q}_chars")
+        for q in _PCTL_Q
+    ]
+    return (
+        ranked.groupBy("lang")
+        .agg(F.max("n").alias("n_docs"), *picks)
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_PERCENTILES = f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       {", ".join(
+         f"MAX(CASE WHEN rn = 1 + CAST(floor({q} * (n - 1) / 100) AS BIGINT)"
+         f" THEN n_chars END) AS p{q}_chars" for q in _PCTL_Q)}
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding quantization — symmetric int8, per-vector scale
 # ---------------------------------------------------------------------------
 
@@ -1527,6 +1639,11 @@ TRAINING_REGISTRY: dict[str, dict] = {
     "props_extract": {"builder": q_props_extract, "sql": SQL_PROPS_EXTRACT},
     "embed_quantize": {"builder": q_embed_quantize, "sql": SQL_EMBED_QUANTIZE},
     "dedup_cluster_star": {"builder": q_dedup_cluster_star, "sql": SQL_DEDUP_CLUSTER},
+    "asof_last_error": {"builder": q_asof_last_error, "sql": SQL_ASOF_LAST_ERROR},
+    "corpus_percentiles": {
+        "builder": q_corpus_percentiles,
+        "sql": SQL_CORPUS_PERCENTILES,
+    },
     "dedup_embedding_cosine": {
         "builder": q_dedup_embedding_cosine,
         "sql": SQL_DEDUP_EMBEDDING_COSINE,
