@@ -91,6 +91,21 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_shipping_priority_pushes_filters_and_broadcasts_customer(self, spark):
+        """Q3 shape: the segment and date predicates must reach the
+        parquet scans, the filtered customer side must broadcast, and the
+        plan must end in a TakeOrdered, not a global sort."""
+        from unraveldocs_spark.trainingdata import _t  # noqa: F401
+        from unraveldocs_spark.queries import q_shipping_priority
+
+        plan = plan_of(q_shipping_priority(spark, SF), "formatted")
+        pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+        assert "c_mktsegment" in pushed
+        assert "o_orderdate" in pushed and "l_shipdate" in pushed
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
     def test_sessionize_plans_a_single_hash_exchange(self, spark):
         """Gap sessionization must reuse ONE user_id partitioning for the
         lag window, the running-sum window, and the rollup — a plan with

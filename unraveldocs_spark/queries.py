@@ -425,6 +425,63 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+_SP_SEGMENT = "BUILDING"
+_SP_CUTOFF = "1998-06-01"
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: customer(segment filter) JOIN orders(date filter)
+    JOIN lineitem(date filter), revenue rollup per order, top 10 by
+    (revenue desc, orderdate) — the classic selective multi-way join.
+
+    Scale notes: both date/segment filters reach the parquet scans
+    (pushdown), customer-after-filter is the small side (Catalyst/AQE
+    broadcasts it under the threshold), and the orders-lineitem join
+    shuffles on the shared o_orderkey/l_orderkey — at 100 TB both big
+    tables would be bucketed by orderkey to make that join co-located.
+    Money through DECIMAL(18,4) per the FP-parity rules; TakeOrdered
+    caps the result driver-side."""
+    cutoff = F.to_timestamp(F.lit(_SP_CUTOFF))
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _SP_SEGMENT
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    revenue = F.sum(
+        (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("decimal(18,4)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = '{_SP_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_SP_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{_SP_CUTOFF}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
 def q_group_stats_cube(spark, sf_dir):
     """CUBE(lang, source): the admin-stats rollup at every grouping grain
     in one pass — per (lang, source), per lang, per source, and the grand
@@ -731,6 +788,10 @@ REGISTRY: dict[str, dict] = {
     "distinct_count": {"builder": q_distinct_count, "sql": SQL_DISTINCT_COUNT},
     "group_stats": {"builder": q_group_stats, "sql": SQL_GROUP_STATS},
     "group_stats_cube": {"builder": q_group_stats_cube, "sql": SQL_GROUP_STATS_CUBE},
+    "shipping_priority": {
+        "builder": q_shipping_priority,
+        "sql": SQL_SHIPPING_PRIORITY,
+    },
     "union_shards": {"builder": q_union_shards, "sql": SQL_UNION_SHARDS},
     "pdf_extension_predicate": {
         "builder": q_pdf_extension_predicate,

@@ -1108,6 +1108,62 @@ SQL_KNN_JOIN = _duck_knn_join_sql()
 
 
 # ---------------------------------------------------------------------------
+# Gap-fill / densify — zero rows for empty time buckets
+# ---------------------------------------------------------------------------
+
+def q_hourly_gapfill(spark, sf_dir):
+    """Hourly event counts per type with ZERO rows for silent hours — the
+    densify step every monitoring/training-cadence rollup needs before
+    windowed math (a plain groupBy silently drops empty buckets).
+
+    Scale shape: the grid is sequence+explode over the (min, max) hour
+    bounds cross-joined with the distinct types — two TINY derived dims
+    (the cross join never touches fact-table cardinality) — then one
+    left join against the grouped counts, shuffling only the counts."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_timestamp(ts) DIV 3600").alias("h"),
+    )
+    counts = e.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(hours)
+    return (
+        grid.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") * 3600).alias("hour_epoch"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+SQL_HOURLY_GAPFILL = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h FROM events
+), b AS (
+  SELECT MIN(h) AS mn, MAX(h) AS mx FROM e
+), hours AS (
+  SELECT unnest(range(mn, mx + 1)) AS h FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM e
+), grid AS (
+  SELECT event_type, h FROM types, hours
+), cnt AS (
+  SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY event_type, h
+)
+SELECT g.event_type, g.h * 3600 AS hour_epoch,
+       COALESCE(n, 0) AS n_events
+FROM grid g LEFT JOIN cnt USING (event_type, h)
+ORDER BY event_type, hour_epoch
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of lookup — most recent prior matching event, windowed (no join)
 # ---------------------------------------------------------------------------
 
@@ -1640,6 +1696,7 @@ TRAINING_REGISTRY: dict[str, dict] = {
     "embed_quantize": {"builder": q_embed_quantize, "sql": SQL_EMBED_QUANTIZE},
     "dedup_cluster_star": {"builder": q_dedup_cluster_star, "sql": SQL_DEDUP_CLUSTER},
     "asof_last_error": {"builder": q_asof_last_error, "sql": SQL_ASOF_LAST_ERROR},
+    "hourly_gapfill": {"builder": q_hourly_gapfill, "sql": SQL_HOURLY_GAPFILL},
     "corpus_percentiles": {
         "builder": q_corpus_percentiles,
         "sql": SQL_CORPUS_PERCENTILES,
