@@ -1163,6 +1163,40 @@ ORDER BY event_type, hour_epoch
 """
 
 
+def q_daily_active_users(spark, sf_dir):
+    """Exact daily active users + event volume: the distinct-aggregate
+    shape (COUNT(DISTINCT user) per day) Spark plans as a two-phase
+    expand/aggregate — exact, unlike the approx_count_distinct sketch
+    path a 100-TB dashboard would switch to when 2% error is fine."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) DIV 86400").alias("day")
+    )
+    return (
+        e.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            (F.col("day") * 86400).alias("day_epoch"),
+            "active_users",
+            "n_events",
+        )
+        .orderBy("day_epoch")
+    )
+
+
+SQL_DAILY_ACTIVE_USERS = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events
+)
+SELECT day * 86400 AS day_epoch,
+       COUNT(DISTINCT user_id) AS active_users,
+       COUNT(*) AS n_events
+FROM e GROUP BY day ORDER BY day_epoch
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of lookup — most recent prior matching event, windowed (no join)
 # ---------------------------------------------------------------------------
@@ -1697,6 +1731,10 @@ TRAINING_REGISTRY: dict[str, dict] = {
     "dedup_cluster_star": {"builder": q_dedup_cluster_star, "sql": SQL_DEDUP_CLUSTER},
     "asof_last_error": {"builder": q_asof_last_error, "sql": SQL_ASOF_LAST_ERROR},
     "hourly_gapfill": {"builder": q_hourly_gapfill, "sql": SQL_HOURLY_GAPFILL},
+    "daily_active_users": {
+        "builder": q_daily_active_users,
+        "sql": SQL_DAILY_ACTIVE_USERS,
+    },
     "corpus_percentiles": {
         "builder": q_corpus_percentiles,
         "sql": SQL_CORPUS_PERCENTILES,
