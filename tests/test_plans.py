@@ -116,6 +116,23 @@ class TestJoinStrategies:
         assert plan.count("hashpartitioning") == 1
         assert "CartesianProduct" not in plan
 
+    def test_asof_lookup_plans_one_hash_exchange(self, spark):
+        """The as-of lookup is a window, not a range join: exactly one
+        user_id Exchange, no join operator at all."""
+        from unraveldocs_spark.trainingdata import q_asof_last_error
+
+        plan = plan_of(q_asof_last_error(spark, SF), "simple")
+        assert plan.count("hashpartitioning") == 1
+        assert "Join" not in plan
+
+    def test_percentiles_share_the_lang_partitioning(self, spark):
+        """Rank window and the final rollup must reuse one lang
+        partitioning — exact percentiles cost one shuffle, not two."""
+        from unraveldocs_spark.trainingdata import q_corpus_percentiles
+
+        plan = plan_of(q_corpus_percentiles(spark, SF), "simple")
+        assert plan.count("hashpartitioning") == 1
+
     def test_corpus_sample_broadcasts_rates_and_never_shuffles_corpus(self, spark):
         """Stratified sampling must be a broadcast rate dim + per-row hash
         filter: the corpus itself is never hash-shuffled (the only Exchange

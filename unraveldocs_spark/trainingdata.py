@@ -1197,6 +1197,53 @@ FROM e GROUP BY day ORDER BY day_epoch
 """
 
 
+def q_user_retention(spark, sf_dir):
+    """Day-over-day retention cohorts: per day, the active users and how
+    many of them return the next day — the self-join cohort shape
+    (distinct (user, day) against itself shifted by one day).
+
+    Scale shape: the fact table collapses to distinct (user, day) FIRST
+    (one shuffle), so the self-join runs on the small deduplicated
+    activity set keyed by (user_id, day) — never on raw events."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) DIV 86400").alias("day")
+    ).distinct()
+    nxt = e.select("user_id", (F.col("day") - 1).alias("day"))
+    retained = (
+        e.join(nxt, ["user_id", "day"], "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("retained_next_day"))
+    )
+    active = e.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+    return (
+        active.join(retained, "day", "left")
+        .select(
+            (F.col("day") * 86400).alias("day_epoch"),
+            "active_users",
+            F.coalesce("retained_next_day", F.lit(0)).alias("retained_next_day"),
+        )
+        .orderBy("day_epoch")
+    )
+
+
+SQL_USER_RETENTION = """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), r AS (
+  SELECT a.day, COUNT(*) AS retained_next_day
+  FROM a JOIN a nxt ON a.user_id = nxt.user_id AND nxt.day = a.day + 1
+  GROUP BY a.day
+), act AS (
+  SELECT day, COUNT(*) AS active_users FROM a GROUP BY day
+)
+SELECT act.day * 86400 AS day_epoch, active_users,
+       COALESCE(retained_next_day, 0) AS retained_next_day
+FROM act LEFT JOIN r ON act.day = r.day
+ORDER BY day_epoch
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of lookup — most recent prior matching event, windowed (no join)
 # ---------------------------------------------------------------------------
@@ -1735,6 +1782,7 @@ TRAINING_REGISTRY: dict[str, dict] = {
         "builder": q_daily_active_users,
         "sql": SQL_DAILY_ACTIVE_USERS,
     },
+    "user_retention": {"builder": q_user_retention, "sql": SQL_USER_RETENTION},
     "corpus_percentiles": {
         "builder": q_corpus_percentiles,
         "sql": SQL_CORPUS_PERCENTILES,
