@@ -1760,6 +1760,120 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_corpus_build_full(spark, sf_dir):
+    """The capstone training-data pipeline, every stage composed: (1)
+    quality gate (length bounds + stopword-ratio floor), (2) exact dedup
+    keeping the min doc_id per content hash, (3) NEAR-dup drop — MinHash
+    band candidates among the surviving docs, thresholded Jaccard pairs,
+    connected components, keep only each cluster's min doc_id, (4)
+    stratified hash-threshold sampling, (5) per-lang corpus stats.
+
+    Shuffle budget: gate is shuffle-free, exact dedup one groupBy, the
+    near-dup stage inherits the banded join, cluster resolution is the
+    bounded propagation loop over PAIRS only (tiny), sampling is a
+    broadcast + filter, stats one groupBy.  Each stage drops rows before
+    the next pays for them — the ordering a 100-TB corpus build uses."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_words = F.size(toks)
+    gated = d.select(
+        "doc_id", "lang", "text", "n_chars", n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+    ).filter(
+        (F.col("n_chars") >= 40)
+        & (F.col("n_chars") <= 5000)
+        & (F.col("n_stop") * 100 >= F.col("n_words") * 2)
+    )
+    exact_keepers = (
+        gated.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = gated.join(exact_keepers, "doc_id", "left_semi")
+    cands = _minhash_candidate_pairs(
+        kept.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = cands.select("doc_a", "doc_b", inter.alias("i"), union.alias("u")).filter(
+        F.col("i") * _JACCARD_DEN >= F.col("u") * _JACCARD_NUM
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    near_dupes = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    resolved = kept.join(near_dupes, "doc_id", "left_anti")
+    sample_key = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 14),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(10000),
+    )
+    rates = spark.createDataFrame(list(_SAMPLE_RATES_E4), "lang string, rate_e4 int")
+    sampled = (
+        resolved.join(F.broadcast(rates), "lang", "left")
+        .filter(
+            sample_key < F.coalesce(F.col("rate_e4"), F.lit(_SAMPLE_DEFAULT_E4))
+        )
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_BUILD_FULL = f"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, lang, text, n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> list_contains({list(_STOPWORDS)!r}, x))) AS n_stop
+  FROM documents
+), ok AS (
+  SELECT * FROM gated
+  WHERE n_chars >= 40 AND n_chars <= 5000 AND n_stop * 100 >= n_words * 2
+), exact_keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)
+), kept AS (
+  SELECT ok.* FROM ok WHERE doc_id IN (SELECT doc_id FROM exact_keepers)
+), kdocs AS (
+  SELECT doc_id, text FROM kept
+), {_duck_minhash_cands_ctes("kdocs")}, pairs AS (
+  SELECT doc_a, doc_b FROM cands
+  {_DUCK_JAC_WHERE}
+), und AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), reach(a, b) AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.a, u.t FROM reach r JOIN und u ON r.b = u.s
+), near_dupes AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(LEAST(a, b)) <> a
+), resolved AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM near_dupes)
+), rates(lang, rate_e4) AS (
+  VALUES {", ".join(f"('{k}', {v})" for k, v in _SAMPLE_RATES_E4)}
+), sampled AS (
+  SELECT r.* FROM resolved r LEFT JOIN rates ON r.lang = rates.lang
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 10000
+        < COALESCE(rate_e4, {_SAMPLE_DEFAULT_E4})
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
     "corpus_prep": {"builder": q_corpus_prep, "sql": SQL_CORPUS_PREP},
     "dedup_exact": {"builder": q_dedup_exact, "sql": SQL_DEDUP_EXACT},
@@ -1783,6 +1897,10 @@ TRAINING_REGISTRY: dict[str, dict] = {
         "sql": SQL_DAILY_ACTIVE_USERS,
     },
     "user_retention": {"builder": q_user_retention, "sql": SQL_USER_RETENTION},
+    "corpus_build_full": {
+        "builder": q_corpus_build_full,
+        "sql": SQL_CORPUS_BUILD_FULL,
+    },
     "corpus_percentiles": {
         "builder": q_corpus_percentiles,
         "sql": SQL_CORPUS_PERCENTILES,
