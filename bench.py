@@ -114,6 +114,7 @@ HEADLINE_QUERIES = (
     "corpus_sample",
     "sessionize",
     "props_extract",
+    "corpus_build_full",
 )
 
 
