@@ -275,3 +275,73 @@ class TestRound2Plans:
         joined = a.join(b.hint("merge"), "conv_id", "left_anti")
         plan = plan_of(joined, "simple")
         assert "Exchange" not in plan, plan
+
+
+class TestCorpusFilterPlans:
+    """Plan shapes for the web-corpus filter battery (Gopher/C4/CCNet)."""
+
+    def test_quality_gopher_never_shuffles(self, spark):
+        """The Gopher gate is pure per-row arithmetic: no hash Exchange,
+        no join — at 100 TB it must run at parquet-scan speed (the only
+        Exchange allowed is the presentation rangepartitioning)."""
+        from unraveldocs_spark.trainingdata import q_quality_gopher
+
+        plan = plan_of(q_quality_gopher(spark, SF), "simple")
+        assert "hashpartitioning" not in plan
+        assert "Join" not in plan
+
+    def test_pii_redact_never_shuffles(self, spark):
+        """PII detection/redaction is per-row regex work inside codegen —
+        same zero-shuffle contract as the Gopher gate."""
+        from unraveldocs_spark.trainingdata import q_pii_redact
+
+        plan = plan_of(q_pii_redact(spark, SF), "simple")
+        assert "hashpartitioning" not in plan
+        assert "Join" not in plan
+
+    def test_contamination_check_broadcasts_benchmark(self, spark):
+        """The benchmark n-gram set must broadcast (eval suites are MBs,
+        the corpus is TBs): the corpus side gets exactly one hash
+        Exchange — the final groupBy(doc_id) — and never a cartesian."""
+        from unraveldocs_spark.trainingdata import q_contamination_check
+
+        plan = plan_of(q_contamination_check(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # two hash Exchanges max: the benchmark-side distinct (bounded by
+        # eval-suite size) and the final corpus groupBy(doc_id)
+        assert plan.count("hashpartitioning") <= 2, plan
+
+    def test_line_dedup_equi_joins_on_chunk_hash(self, spark):
+        """C4 line dedup joins the chunk table to the cross-corpus
+        frequency table on the chunk hash — an equi-join, never a
+        cartesian; the frequency side is NOT assumed broadcastable (one
+        row per distinct chunk grows with content diversity)."""
+        from unraveldocs_spark.trainingdata import q_line_dedup
+
+        plan = plan_of(q_line_dedup(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_quality_repetition_two_stage_agg(self, spark):
+        """Repetition signals use explode -> two-stage aggregation (the
+        distributed shape); the doc-grain O(L^2) higher-order alternative
+        is rejected.  At most two hash Exchanges, no join."""
+        from unraveldocs_spark.trainingdata import q_quality_repetition
+
+        plan = plan_of(q_quality_repetition(spark, SF), "simple")
+        assert "Join" not in plan
+        assert plan.count("hashpartitioning") <= 2, plan
+
+    def test_corpus_mix_weights_single_scan_single_group_shuffle(self, spark):
+        """Mix weights must scan the corpus ONCE and group-shuffle it
+        once; the totals come from a window over the tiny grouped result
+        (a separately aggregated totals branch made Catalyst scan and
+        shuffle the corpus twice — the bug this test pins)."""
+        from unraveldocs_spark.trainingdata import q_corpus_mix_weights
+
+        plan = plan_of(q_corpus_mix_weights(spark, SF), "simple")
+        assert plan.count("FileScan") == 1, plan
+        assert plan.count("hashpartitioning") == 1, plan
+        assert "Join" not in plan

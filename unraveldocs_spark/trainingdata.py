@@ -982,6 +982,13 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 _KNN_K = 3
+# knn ranks EVERY candidate (no similarity threshold), so its bands are
+# sized by the measured BENCH/BAND_BITS.md rule — bits ~ log2(n/8) — not
+# the 4-bit bands the thresholded cosine-dedup confirm uses: at n=2k,
+# 4-bit buckets made a quarter of all pairs candidates (measured 33s at
+# sf0.1); 8-bit bands cut that ~18x.
+_KNN_BANDS = 4
+_KNN_BAND_BITS = 8
 
 
 def q_knn_join(spark, sf_dir):
@@ -996,7 +1003,15 @@ def q_knn_join(spark, sf_dir):
     query vector.  At 100 TB: candidate generation inherits the banded
     join's scale; the rank window shuffles on vec_id only (uniform key),
     and ranking uses the e4-rounded cosine so the order is integer-stable
-    across engines."""
+    across engines.
+
+    Band sizing applies the measured BENCH/BAND_BITS.md rule (bits ~
+    log2(n / target_bucket)): the 4-bit bands dedup_embedding_cosine uses
+    were built for its THRESHOLDED confirm, but knn ranks every candidate,
+    and 4-bit buckets at n=2k produced 1.02M candidate pairs (510 per
+    vector — a quarter of all pairs; measured 33s).  8-bit bands over a
+    32-bit signature cut candidates ~18x; at larger n, bits grows with
+    log2(n) per the same rule."""
     from .similarity import EMB_DIM, signature_stage
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1005,8 +1020,10 @@ def q_knn_join(spark, sf_dir):
     unit = e.select("vec_id", dv.alias("v"), norm.alias("nrm")).select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit")
     )
-    sigs = signature_stage(e, dim=EMB_DIM).select("vec_id", "signature")
-    mask = (1 << _EC_BAND_BITS) - 1
+    sigs = signature_stage(
+        e, dim=EMB_DIM, bits=_KNN_BANDS * _KNN_BAND_BITS
+    ).select("vec_id", "signature")
+    mask = (1 << _KNN_BAND_BITS) - 1
     bands = sigs.select(
         "vec_id",
         F.explode(
@@ -1014,11 +1031,11 @@ def q_knn_join(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("signature"), b * _EC_BAND_BITS)
+                        F.shiftright(F.col("signature"), b * _KNN_BAND_BITS)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
-                    for b in range(_EC_BANDS)
+                    for b in range(_KNN_BANDS)
                 ]
             )
         ).alias("band"),
@@ -1067,8 +1084,8 @@ def _duck_knn_join_sql() -> str:
 
     band_structs = ", ".join(
         "{'band_idx': %d, 'band_val': (sig >> %d) & %d}"
-        % (b, b * _EC_BAND_BITS, (1 << _EC_BAND_BITS) - 1)
-        for b in range(_EC_BANDS)
+        % (b, b * _KNN_BAND_BITS, (1 << _KNN_BAND_BITS) - 1)
+        for b in range(_KNN_BANDS)
     )
     return f"""
 WITH dv AS (
@@ -1077,7 +1094,7 @@ WITH dv AS (
 ), u AS (
   SELECT vec_id,
          list_transform(v, x -> x / sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum'))) AS unit,
-         {lsh_signature_sql_expr('v')} AS sig
+         {lsh_signature_sql_expr('v', bits=_KNN_BANDS * _KNN_BAND_BITS)} AS sig
   FROM dv
 ), bands AS (
   SELECT vec_id, unit, unnest([{band_structs}], recursive := true) FROM u
@@ -1874,7 +1891,446 @@ FROM sampled GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Web-corpus quality gates and filters (Gopher / C4 / CCNet style) — the
+# filter battery a 100-TB pretraining corpus prep runs before tokenization.
+# All outputs are integers (FP-parity rules, module docstring).
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 40
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL_E2 = 300  # mean word length in [3, 10]
+_GOPHER_MAX_MWL_E2 = 1000
+_GOPHER_MIN_ALPHA_E4 = 8000  # >= 80% of words contain an alphabetic char
+_GOPHER_MIN_STOP = 2  # >= 2 distinct stopwords present
+
+
+def q_quality_gopher(spark, sf_dir):
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1 rules,
+    re-parameterized for the driver corpus): word-count bounds, mean word
+    length bounds, alphabetic-word ratio floor, and a distinct-stopword
+    floor, emitted per document with the pass/fail verdict.
+
+    Scale shape: pure per-row JVM expressions inside whole-stage codegen
+    — no shuffle at all until the presentation orderBy; at 100 TB this
+    runs at scan speed and the gate verdict feeds the corpus-build
+    filter (`q_corpus_build_full`) without materializing rejects."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    mwl_e2 = F.round(
+        F.lit(100.0) * F.length(F.concat_ws("", toks)) / n_words
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_e4 = F.round(F.lit(10000.0) * n_alpha / n_words).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    gate = (
+        (n_words >= _GOPHER_MIN_WORDS)
+        & (n_words <= _GOPHER_MAX_WORDS)
+        & (mwl_e2 >= _GOPHER_MIN_MWL_E2)
+        & (mwl_e2 <= _GOPHER_MAX_MWL_E2)
+        & (alpha_e4 >= _GOPHER_MIN_ALPHA_E4)
+        & (n_stop >= _GOPHER_MIN_STOP)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl_e2.alias("mean_word_len_e2"),
+        alpha_e4.alias("alpha_ratio_e4"),
+        n_stop.alias("n_stopwords_distinct"),
+        gate.cast("int").alias("pass_gate"),
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_GOPHER = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_words,
+         CAST(ROUND(100.0 * length(list_aggregate(toks, 'string_agg', ''))
+                    / len(toks)) AS BIGINT) AS mean_word_len_e2,
+         CAST(ROUND(10000.0 * len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                    / len(toks)) AS BIGINT) AS alpha_ratio_e4,
+         CAST(len(list_filter(list_distinct(toks),
+                              x -> list_contains({list(_STOPWORDS)!r}, x))) AS INT)
+           AS n_stopwords_distinct
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len_e2, alpha_ratio_e4, n_stopwords_distinct,
+       CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND mean_word_len_e2 BETWEEN {_GOPHER_MIN_MWL_E2} AND {_GOPHER_MAX_MWL_E2}
+            AND alpha_ratio_e4 >= {_GOPHER_MIN_ALPHA_E4}
+            AND n_stopwords_distinct >= {_GOPHER_MIN_STOP} AS INT) AS pass_gate
+FROM m ORDER BY doc_id
+"""
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher repetition signals: duplicate-word ratio (1 - distinct/total)
+    and top-bigram dominance (most frequent word bigram's share of all
+    bigrams).  High values flag boilerplate / keyword-stuffed documents.
+
+    Scale shape: explode bigrams -> groupBy (doc_id, bigram) with map-side
+    partial aggregation -> groupBy doc_id for the max/sum.  This is the
+    distributed shape — a per-row O(L^2) higher-order-function count would
+    be JVM-local but quadratic in document length, which 30k-char
+    documents rule out.  Documents with < 2 words have no bigrams and are
+    excluded (both engines agree by construction)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    base = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    per_bigram = base.groupBy("doc_id", "n_words", "n_distinct", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_bigram.groupBy("doc_id", "n_words", "n_distinct")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("nb"))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.lit(10000.0) * (F.col("n_words") - F.col("n_distinct")) / F.col("n_words")
+            ).cast("bigint").alias("dup_word_ratio_e4"),
+            F.col("top_c").cast("int").alias("top_bigram_count"),
+            F.col("nb").cast("int").alias("n_bigrams"),
+            F.round(F.lit(10000.0) * F.col("top_c") / F.col("nb"))
+            .cast("bigint")
+            .alias("top_bigram_ratio_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY_REPETITION = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t
+), pb AS (
+  SELECT doc_id, n_words, n_distinct, bigram, COUNT(*) AS c
+  FROM b GROUP BY doc_id, n_words, n_distinct, bigram
+)
+SELECT doc_id, n_words,
+       CAST(ROUND(10000.0 * (n_words - n_distinct) / n_words) AS BIGINT)
+         AS dup_word_ratio_e4,
+       CAST(MAX(c) AS INT) AS top_bigram_count,
+       CAST(SUM(c) AS INT) AS n_bigrams,
+       CAST(ROUND(10000.0 * MAX(c) / SUM(c)) AS BIGINT) AS top_bigram_ratio_e4
+FROM pb GROUP BY doc_id, n_words, n_distinct ORDER BY doc_id
+"""
+
+
+_CHUNK_DROP_MIN_DOCS = 3  # C4 drops lines occurring in >= 3 documents
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-grain corpus dedup (Raffel et al. 2020 §2.2: any
+    line occurring in >= 3 documents across the corpus is boilerplate and
+    is dropped from every document).  'Line' here is the same 16-word
+    chunk `dedup_paragraph` uses (the driver corpus is single-line text;
+    real documents would split on newlines with the identical pipeline).
+
+    Output per document: chunk counts before/after the drop plus the md5
+    of the surviving text reassembled in original chunk order — so the
+    driver hash pins the actual reconstruction, not just the counts.
+
+    Scale shape: groupBy chunk-hash (one shuffle, map-side combine) ->
+    shuffle join back on the hash -> groupBy doc_id to reassemble.  The
+    cross-corpus frequency table has one row per DISTINCT chunk, so its
+    size tracks content diversity, not corpus size; no broadcast is
+    assumed (at 100 TB it exceeds driver memory)."""
+    paras = _paragraphs(_t(spark, sf_dir, "documents")).withColumn(
+        "h", F.md5(F.col("para").cast("binary"))
+    )
+    freq = paras.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    flagged = paras.join(freq, "h").withColumn(
+        "keep", F.col("n_docs") < _CHUNK_DROP_MIN_DOCS
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(F.struct("para_idx", "para", "keep"))
+                            ),
+                            lambda s: s["keep"],
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH wtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pidx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {_PARA_WORDS}.0) AS BIGINT))) AS para_idx
+  FROM wtoks
+), paras AS (
+  SELECT doc_id, para_idx,
+         array_to_string(list_slice(toks, para_idx * {_PARA_WORDS} + 1,
+                                    para_idx * {_PARA_WORDS} + {_PARA_WORDS}), ' ') AS para
+  FROM pidx
+), freq AS (
+  SELECT md5(para) AS h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM paras GROUP BY md5(para)
+), flagged AS (
+  SELECT p.doc_id, p.para_idx, p.para, f.n_docs < {_CHUNK_DROP_MIN_DOCS} AS keep
+  FROM paras p JOIN freq f ON md5(p.para) = f.h
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+       CAST(SUM(CAST(keep AS INT)) AS INT) AS n_kept,
+       md5(COALESCE(string_agg(para, ' ' ORDER BY para_idx) FILTER (WHERE keep), ''))
+         AS kept_md5
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats, \\b only.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detection + redaction over the corpus: count and mask emails,
+    IPv4 addresses, and international phone numbers.  The driver corpus
+    contains no PII, so the query synthesizes a deterministic doc_id-keyed
+    PII envelope first (the same fixture-synthesis pattern pdf_layout and
+    extract_synthetic use) — the detector/redactor then runs over text
+    that actually exercises every pattern, and the md5 of the redacted
+    text pins the exact replacement behavior.
+
+    Scale shape: per-row regexp_extract_all / regexp_replace inside
+    whole-stage codegen; zero shuffles before the presentation orderBy."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), (did % 7).cast("string"), F.lit("@example.com")
+    )
+    ip = F.concat(
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit(".0."), (did % 100).cast("string"),
+    )
+    phone = F.concat(
+        F.lit(" call +"), (did % 90 + 10).cast("string"),
+        F.lit("-"), (did % 900 + 100).cast("string"),
+        F.lit("-"), (did % 9000 + 1000).cast("string"),
+    )
+    env = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, email).otherwise(F.lit("")),
+        F.when(did % 5 == 0, ip).otherwise(F.lit("")),
+        F.when(did % 4 == 0, phone).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(env, _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_IPV4_RE, "[IP]",
+        ),
+        _PII_PHONE_RE, "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(env, F.lit(_PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(env, F.lit(_PII_IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(env, F.lit(_PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_PII_REDACT = f"""
+WITH env AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id % 7 AS VARCHAR)
+                                          || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                          || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' call +' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                                          || '-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                          || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PII_IPV4_RE}', '[IP]', 'g'),
+             '{_PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM env ORDER BY doc_id
+"""
+
+
+_BENCH_MOD = 97  # docs with doc_id % 97 == 0 stand in for the eval benchmark
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination screen: for every corpus document, the
+    fraction of its distinct word bigrams that also appear in the eval
+    benchmark set (docs with doc_id % 97 == 0 stand in for the held-out
+    suite).  The standard pre-training decontamination pass (GPT-3
+    App. C / PaLM-style n-gram overlap), at the bigram grain the shared
+    shingle helper already provides.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are MBs, the corpus is TBs), so it is explicitly
+    F.broadcast — the corpus side never shuffles; one groupBy(doc_id)
+    aggregates the hit counts."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _spark_shingles(F.col("text")).alias("sh")
+    )
+    bench_sh = (
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ex = d.filter((F.col("doc_id") % _BENCH_MOD != 0) & (F.size("sh") > 0)).select(
+        "doc_id", F.explode("sh").alias("sh")
+    )
+    return (
+        ex.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contam_e4",
+            F.round(F.lit(10000.0) * F.col("n_contaminated") / F.col("n_shingles"))
+            .cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(c="text")} AS sh FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+), ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh
+  WHERE doc_id % {_BENCH_MOD} <> 0 AND len(sh) > 0
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+       CAST(SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS INT)
+         AS n_contaminated,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS contam_e4
+FROM ex GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_corpus_mix_weights(spark, sf_dir):
+    """Corpus mixing table: per (source, lang) document and word counts,
+    each group's share of the corpus, and the uniform-target resampling
+    weight (corpus_docs / (n_groups * group_docs)) — the numbers a
+    data-mixing stage needs to rebalance sources before training.
+
+    Scale shape: ONE groupBy pass over the corpus (map-side combine);
+    the corpus totals come from an unpartitioned window over the grouped
+    result — whose cardinality is bounded by #sources x #langs, never by
+    corpus size, so the single-partition exchange moves only the tiny
+    dimension table.  (A crossJoin against a separately aggregated totals
+    row was rejected: Catalyst does not share the subplan, so it scanned
+    and group-shuffled the corpus twice.)"""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    grp = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("total_words"),
+    )
+    w = Window.partitionBy()  # bounded: one row per (source, lang)
+    corpus_docs = F.sum("n_docs").over(w)
+    n_groups = F.count(F.lit(1)).over(w)
+    return (
+        grp.select(
+            "source",
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_words").cast("bigint").alias("total_words"),
+            F.round(F.lit(1000000.0) * F.col("n_docs") / corpus_docs)
+            .cast("bigint")
+            .alias("share_e6"),
+            F.round(
+                F.lit(1000000.0) * corpus_docs / (n_groups * F.col("n_docs"))
+            )
+            .cast("bigint")
+            .alias("uniform_weight_e6"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_CORPUS_MIX_WEIGHTS = """
+WITH grp AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_words
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT SUM(n_docs) AS corpus_docs, COUNT(*) AS n_groups FROM grp
+)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_words AS BIGINT) AS total_words,
+       CAST(ROUND(1000000.0 * n_docs / corpus_docs) AS BIGINT) AS share_e6,
+       CAST(ROUND(1000000.0 * corpus_docs / (n_groups * n_docs)) AS BIGINT)
+         AS uniform_weight_e6
+FROM grp, tot ORDER BY source, lang
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
+    "quality_gopher": {"builder": q_quality_gopher, "sql": SQL_QUALITY_GOPHER},
+    "quality_repetition": {
+        "builder": q_quality_repetition,
+        "sql": SQL_QUALITY_REPETITION,
+    },
+    "line_dedup": {"builder": q_line_dedup, "sql": SQL_LINE_DEDUP},
+    "pii_redact": {"builder": q_pii_redact, "sql": SQL_PII_REDACT},
+    "contamination_check": {
+        "builder": q_contamination_check,
+        "sql": SQL_CONTAMINATION_CHECK,
+    },
+    "corpus_mix_weights": {
+        "builder": q_corpus_mix_weights,
+        "sql": SQL_CORPUS_MIX_WEIGHTS,
+    },
     "corpus_prep": {"builder": q_corpus_prep, "sql": SQL_CORPUS_PREP},
     "dedup_exact": {"builder": q_dedup_exact, "sql": SQL_DEDUP_EXACT},
     "dedup_ngram_jaccard": {
