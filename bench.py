@@ -115,6 +115,11 @@ HEADLINE_QUERIES = (
     "sessionize",
     "props_extract",
     "corpus_build_full",
+    "quality_gopher",
+    "quality_repetition",
+    "line_dedup",
+    "contamination_check",
+    "ann_pq_topk",
 )
 
 

@@ -345,3 +345,34 @@ class TestCorpusFilterPlans:
         assert plan.count("FileScan") == 1, plan
         assert plan.count("hashpartitioning") == 1, plan
         assert "Join" not in plan
+
+
+class TestVocabAndPQPlans:
+    def test_ann_pq_scan_is_shuffle_free_takeordered(self, spark):
+        """The PQ ADC scan reads only the code column, scores with integer
+        lookups, and folds to top-k via TakeOrdered — no Exchange at all
+        (the 100-TB contract: queries never touch raw vectors)."""
+        from unraveldocs_spark.entry_queries import q_ann_pq
+
+        plan = plan_of(q_ann_pq(spark, SF), "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan, plan
+
+    def test_vocab_topk_is_takeordered_not_global_sort(self, spark):
+        """Top-K vocabulary must fold with TakeOrdered after the token
+        aggregation — a global Sort of the full vocabulary is the
+        scale-killer this pins against."""
+        from unraveldocs_spark.trainingdata import q_vocab_topk
+
+        plan = plan_of(q_vocab_topk(spark, SF), "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_lang_confusion_single_exchange(self, spark):
+        """Prediction is per-row JVM work; the only hash Exchange is the
+        #langs^2-cardinality confusion groupBy."""
+        from unraveldocs_spark.trainingdata import q_lang_confusion
+
+        plan = plan_of(q_lang_confusion(spark, SF), "simple")
+        assert plan.count("hashpartitioning") == 1, plan
+        assert "Join" not in plan

@@ -186,6 +186,16 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """PQ-compressed ANN: 8x16 product codebook, integer ADC scan over
+    the 8-byte code column (similarity.pq_topk)."""
+    from .similarity import pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return pq_topk(e.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
 def q_pdf_layout(spark, sf_dir):
     """F10 layout parse end-to-end: positioned-run envelopes are derived
     deterministically from document tokens (fixed 40-unit x slots, 12-unit
@@ -396,6 +406,12 @@ def _ann_ivf_sql() -> str:
     return ann_ivf_topk_sql(k=10, n_centroids=16, nprobe=6)
 
 
+def _ann_pq_sql() -> str:
+    from .oracle_sql_gen import ann_pq_topk_sql
+
+    return ann_pq_topk_sql(k=10)
+
+
 def _multimodal_sql() -> str:
     from .oracle_sql_gen import multimodal_decode_sql
 
@@ -414,6 +430,7 @@ ENTRY_REGISTRY: dict[str, dict] = {
     "winnow_fingerprints": {"builder": q_winnow_fingerprints, "sql_fn": _winnow_sql},
     "ann_lsh_topk": {"builder": q_ann_lsh, "sql_fn": _ann_lsh_sql},
     "ann_ivf_topk": {"builder": q_ann_ivf, "sql_fn": _ann_ivf_sql},
+    "ann_pq_topk": {"builder": q_ann_pq, "sql_fn": _ann_pq_sql},
     "multimodal_decode": {"builder": q_multimodal_decode, "sql_fn": _multimodal_sql},
     "frame_sample": {"builder": q_frame_sample, "sql": SQL_FRAME_SAMPLE},
     "multimodal_resize": {"builder": q_multimodal_resize, "sql": SQL_MULTIMODAL_RESIZE},

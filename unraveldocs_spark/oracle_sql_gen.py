@@ -208,6 +208,48 @@ FROM scored ORDER BY c DESC, vec_id LIMIT {k}
 """
 
 
+def ann_pq_topk_sql(k: int = 10, m_sub: int = 8, ksub: int = 16, dim: int = EMB_DIM) -> str:
+    """Mirror of similarity.pq_topk: same lowest-vec_id codebook seeding,
+    same argmin/tie rule (ORDER BY dist ASC, cid), and the same integer-e6
+    lookup-table contributions (ROUND half-away of a sequential dot), so
+    the final SUM is order-free integer arithmetic."""
+    dsub = dim // m_sub
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_dv('embedding')} AS v FROM embeddings WHERE vec_id <> 0
+), q AS (
+  SELECT {_dv('embedding')} AS qv FROM embeddings WHERE vec_id = 0
+), seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {ksub})
+), cents AS (
+  SELECT m, cid, list_slice(v, m * {dsub} + 1, m * {dsub} + {dsub}) AS cv
+  FROM seeds, range(0, {m_sub}) t(m)
+), codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT b.vec_id, c.m, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id, c.m
+             ORDER BY list_aggregate(list_transform(
+                        list_zip(list_slice(b.v, c.m * {dsub} + 1, c.m * {dsub} + {dsub}), c.cv),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') ASC, c.cid
+           ) AS rk
+    FROM base b CROSS JOIN cents c
+  ) WHERE rk = 1
+), lut AS (
+  SELECT m, cid,
+         CAST(ROUND(list_aggregate(list_transform(
+                list_zip(cv, list_slice(qv, m * {dsub} + 1, m * {dsub} + {dsub})),
+                p -> p[1] * p[2]), 'sum') * 1000000.0) AS BIGINT) AS icontrib
+  FROM cents, q
+), scored AS (
+  SELECT vec_id, CAST(SUM(icontrib) AS BIGINT) AS ip_e6
+  FROM codes JOIN lut USING (m, cid) GROUP BY vec_id
+)
+SELECT vec_id, ip_e6 FROM scored ORDER BY ip_e6 DESC, vec_id LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal decode (multimodal._fake_decode over attach_binary_payload)
 # ---------------------------------------------------------------------------

@@ -233,3 +233,106 @@ def ivf_topk(
     candidates = assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")
     pruned = embeddings.join(candidates, "vec_id", "left_semi")
     return brute_force_topk(pruned, query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — trained-codebook compression + ADC scan
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subquantizers (EMB_DIM 64 -> 8 dims per subvector)
+PQ_KSUB = 16  # centroids per subquantizer
+
+
+def pq_encode_stage(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """vec_id -> M-length PQ code array: per subvector, the id of the
+    nearest codebook centroid by L2 (argmin ties resolve to the lowest
+    id).  numpy over Arrow batches; codebooks is (M, Ksub, dsub)."""
+    m_sub, _, dsub = codebooks.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "codes": []})
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            codes = np.empty((len(mat), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                sub = mat[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, codes array<int>"
+    )
+
+
+def _round_half_away_e6(y: float) -> int:
+    """ROUND(y * 1e6) with half-away-from-zero ties — the DuckDB/Spark
+    ROUND convention (Python's round() is banker's and must not be used
+    on oracle-shared paths)."""
+    import math
+
+    y = y * 1000000.0
+    return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """PQ ANN with asymmetric-distance computation: vectors are encoded
+    once into M small codes (here 8 codes x 16 centroids = 8 bytes per
+    vector vs 256 for the raw float32s), and a query scans ONLY the code
+    column, scoring each vector as the sum of M precomputed lookup-table
+    entries (dot(q_m, centroid) per subquantizer).
+
+    Deterministic codebook: the ksub lowest-vec_id vectors seed each
+    subquantizer (the same seeding rule ivf_topk uses), so the DuckDB
+    oracle re-derives it exactly; kmeans_refine-style training plugs in
+    where exactness is not required.
+
+    FP parity: lookup tables are integer e6 values (ROUND half-away of a
+    SEQUENTIAL left-to-right dot product — the same association order
+    DuckDB's list_aggregate uses), so the scored scan is pure integer
+    arithmetic and the engine-order of the final SUM cannot matter.
+
+    At 100 TB: encode runs once and persists as a column (32x compression
+    of the vector table); the ADC scan is JVM-side integer lookups inside
+    whole-stage codegen ending in a TakeOrdered — no shuffle, no vector
+    reads, no Python."""
+    dim = len(query_vec)
+    dsub = dim // m_sub
+    cent_rows = embeddings.orderBy("vec_id").limit(ksub).collect()
+    cb = np.asarray([list(r.embedding) for r in cent_rows], dtype=np.float64)
+    codebooks = np.stack([cb[:, m * dsub : (m + 1) * dsub] for m in range(m_sub)])
+
+    q = [float(x) for x in query_vec]
+    lut: list[list[int]] = []
+    for m in range(m_sub):
+        row = []
+        for j in range(ksub):
+            s = 0.0
+            for i in range(dsub):
+                # sequential sum, cv * qv operand order — mirrors the
+                # oracle's list_aggregate over list_zip(cv, qsub)
+                s += float(codebooks[m][j][i]) * q[m * dsub + i]
+            row.append(_round_half_away_e6(s))
+        lut.append(row)
+
+    codes = pq_encode_stage(embeddings, codebooks)
+    score = None
+    for m in range(m_sub):
+        arr = F.array(*[F.lit(v) for v in lut[m]]).cast("array<long>")
+        term = F.element_at(arr, F.col("codes")[m] + 1)
+        score = term if score is None else score + term
+    return (
+        codes.select("vec_id", score.alias("ip_e6"))
+        .orderBy(F.col("ip_e6").desc(), "vec_id")
+        .limit(k)
+    )

@@ -2315,7 +2315,81 @@ FROM grp, tot ORDER BY source, lang
 """
 
 
+_VOCAB_TOPK = 200
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: the top-K tokens by corpus-wide frequency with
+    doc-frequency alongside — the table a tokenizer-training or
+    stopword-inference stage starts from.
+
+    Scale shape: explode -> groupBy(token) with map-side partial
+    aggregation (shuffle volume is bounded by DISTINCT tokens per
+    partition, not corpus tokens), then TakeOrdered for the top-K — never
+    a global sort of the full vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(_VOCAB_TOPK)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM t GROUP BY token ORDER BY tf DESC, token LIMIT {_VOCAB_TOPK}
+"""
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the declared ``lang`` label vs the
+    n-gram language-ID prediction (the same shared lang_id_expr the
+    `lang_id` query uses), with per-cell document counts — the evaluation
+    table that calibrates the classifier before it gates a corpus.
+
+    Scale shape: per-row JVM prediction inside codegen, then one
+    groupBy((lang, lang_pred)) whose cardinality is #langs^2 — the
+    shuffle moves only the matrix cells after map-side combine."""
+    from .textanalysis import lang_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    from .textanalysis import lang_id_sql_expr
+
+    return f"""
+WITH p AS (
+  SELECT lang, {lang_id_sql_expr('text')} AS lang_pred FROM documents
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+SQL_LANG_CONFUSION = _lang_confusion_sql()
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
+    "vocab_topk": {"builder": q_vocab_topk, "sql": SQL_VOCAB_TOPK},
+    "lang_confusion": {"builder": q_lang_confusion, "sql": SQL_LANG_CONFUSION},
     "quality_gopher": {"builder": q_quality_gopher, "sql": SQL_QUALITY_GOPHER},
     "quality_repetition": {
         "builder": q_quality_repetition,
