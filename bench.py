@@ -120,6 +120,9 @@ HEADLINE_QUERIES = (
     "line_dedup",
     "contamination_check",
     "ann_pq_topk",
+    "regional_revenue",
+    "moving_window_stats",
+    "corpus_export_shards",
 )
 
 

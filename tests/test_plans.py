@@ -376,3 +376,45 @@ class TestVocabAndPQPlans:
         plan = plan_of(q_lang_confusion(spark, SF), "simple")
         assert plan.count("hashpartitioning") == 1, plan
         assert "Join" not in plan
+
+
+class TestRoundThreeLatePlans:
+    def test_regional_revenue_broadcasts_dims_no_cartesian(self, spark):
+        """Q5 shape: nation x region collapse to one broadcast dim,
+        supplier broadcasts with the local-supplier constraint folded in,
+        the orders date filter reaches the scan, and no cartesian/NLJ
+        appears anywhere in the five-way chain."""
+        from unraveldocs_spark.queries import q_regional_revenue
+
+        plan = plan_of(q_regional_revenue(spark, SF), "formatted")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+        assert "o_orderdate" in pushed and "r_name" in pushed
+
+    def test_moving_window_single_exchange(self, spark):
+        """All three frame aggregates share ONE user_id partitioning."""
+        from unraveldocs_spark.trainingdata import q_moving_window_stats
+
+        plan = plan_of(q_moving_window_stats(spark, SF), "simple")
+        assert plan.count("hashpartitioning") == 1, plan
+        assert "Join" not in plan
+
+    def test_corpus_export_shards_no_cartesian_broadcast_bench(self, spark):
+        """The export capstone: benchmark side broadcasts, every join is
+        an equi-join, shard packing + rollup share the lang partitioning
+        (no second lang Exchange after the window)."""
+        from unraveldocs_spark.trainingdata import q_corpus_export_shards
+
+        plan = plan_of(q_corpus_export_shards(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # lang appears in exactly one hashpartitioning (window); the
+        # final groupBy(lang, shard_id) must reuse it
+        lang_parts = [
+            l for l in plan.splitlines()
+            if "hashpartitioning(lang" in l
+        ]
+        assert len(lang_parts) <= 1, plan

@@ -280,3 +280,79 @@ def test_stream_dedup_ingest_commits_each_digest_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert len(store.snapshots()) == n_snaps
     assert store.results(spark).count() == n_distinct_texts
+
+
+def test_stream_stream_join_matches_batch_join(spark, tmp_path):
+    """Watermarked stream-stream correlation: matched pairs and latencies
+    must equal the batch inner join with the same time-range predicate;
+    results outside [req_ts, req_ts + max_lag] never match."""
+    from pyspark.sql import functions as F
+
+    from unraveldocs_spark.streaming_windows import (
+        REQUEST_STREAM_SCHEMA,
+        RESULT_STREAM_SCHEMA,
+        run_stream_correlation,
+    )
+
+    pdf = G.transcripts_pandas(3, hot_factor=2, include_oversize=False)
+    base = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).select(
+        "conv_id", "turn_idx", "ts"
+    )
+    req = base.select("conv_id", "turn_idx", F.col("ts").alias("req_ts"))
+    # deterministic completion events: ~90% of turns complete, with a
+    # turn-keyed delay; every 7th completion lands beyond max_lag and
+    # must therefore not match
+    res = (
+        base.filter(F.pmod("turn_idx", F.lit(10)) != 9)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.when(F.pmod("turn_idx", F.lit(3)) == 0, "FAILED")
+            .otherwise("COMPLETED")
+            .alias("status"),
+            F.when(
+                F.pmod("turn_idx", F.lit(7)) == 6,
+                F.col("ts") + F.expr("INTERVAL 90 MINUTES"),
+            )
+            .otherwise(
+                F.col("ts") + F.make_dt_interval(secs=F.pmod("turn_idx", F.lit(5)) * 60)
+            )
+            .alias("done_ts"),
+        )
+    )
+    req_dir, res_dir = str(tmp_path / "req"), str(tmp_path / "res")
+    req.repartition(1).write.parquet(req_dir)
+    res.repartition(1).write.parquet(res_dir)
+
+    out_dir = str(tmp_path / "corr-out")
+    q = run_stream_correlation(
+        spark, req_dir, res_dir, out_dir, str(tmp_path / "corr-ckpt"),
+        watermark="10 minutes", max_lag_minutes=60,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    expected = (
+        req.join(res, ["conv_id", "turn_idx"])
+        .filter(
+            (F.col("done_ts") >= F.col("req_ts"))
+            & (F.col("done_ts") <= F.col("req_ts") + F.expr("INTERVAL 60 MINUTES"))
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            (F.unix_timestamp("done_ts") - F.unix_timestamp("req_ts")).alias(
+                "latency_s"
+            ),
+        )
+    )
+    assert got.count() == expected.count() > 0
+    # beyond-max-lag completions are excluded
+    assert got.filter(F.col("latency_s") > 3600).count() == 0
+    # exact pair + latency equality
+    diff = (
+        got.select("conv_id", "turn_idx", "latency_s")
+        .exceptAll(expected)
+        .count()
+    )
+    assert diff == 0

@@ -1371,3 +1371,96 @@ REGISTRY.update(
         },
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: regional revenue through a five-way join
+# ---------------------------------------------------------------------------
+
+_RR_REGION = "ASIA"
+_RR_START = "1996-01-01"
+_RR_END = "1997-01-01"
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation for one region and one order
+    year, with the local-supplier constraint (supplier and customer in
+    the SAME nation) — the classic snowflake join chain
+    region->nation->customer->orders->lineitem->supplier.
+
+    Scale notes: region/nation collapse to ONE broadcast dim before
+    touching any fact table; supplier is broadcast with the
+    s_nationkey == c_nationkey constraint folded into the join condition;
+    the only big shuffles are customer-orders (custkey) and
+    orders-lineitem (orderkey) — at 100 TB both fact tables are bucketed
+    on those keys.  The date filter reaches the orders scan.  Money
+    through DECIMAL per the FP-parity rules."""
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _RR_REGION)
+        .select("r_regionkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    nr = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit(_RR_START)))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit(_RR_END)))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    revenue = F.sum(
+        (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("decimal(18,4)")
+    )
+    return (
+        c.join(nr, c.c_nationkey == nr.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+SQL_REGIONAL_REVENUE = f"""
+SELECT n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = '{_RR_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_RR_START}'
+  AND o_orderdate < TIMESTAMP '{_RR_END}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+REGISTRY.update(
+    {
+        "regional_revenue": {
+            "builder": q_regional_revenue,
+            "sql": SQL_REGIONAL_REVENUE,
+        },
+    }
+)

@@ -78,3 +78,91 @@ def run_windowed_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join: request/completion correlation
+# ---------------------------------------------------------------------------
+
+REQUEST_STREAM_SCHEMA = "conv_id string, turn_idx int, req_ts timestamp"
+RESULT_STREAM_SCHEMA = "conv_id string, turn_idx int, status string, done_ts timestamp"
+
+
+def correlate_streams(
+    spark: SparkSession,
+    requests_path: str,
+    results_path: str,
+    watermark: str = "30 minutes",
+    max_lag_minutes: int = 60,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: upload/request events
+    correlated with their OCR completion events on (conv_id, turn_idx),
+    emitting per-turn processing latency — the reference's async
+    request->result lifecycle (ProcessOcr submit vs completion callback)
+    restated as two unbounded streams.
+
+    State stays bounded by BOTH requirements Spark imposes on
+    stream-stream joins: each side carries an event-time watermark, and
+    the join condition bounds done_ts to [req_ts, req_ts + max_lag] — so
+    a request buffered in state is dropped once the result-side watermark
+    passes req_ts + max_lag, and vice versa.  Without the time-range
+    bound the request buffer would grow forever at 10^12 turns."""
+    req = (
+        spark.readStream.schema(REQUEST_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(requests_path)
+        .withWatermark("req_ts", watermark)
+    )
+    res = (
+        spark.readStream.schema(RESULT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(results_path)
+        .withColumnRenamed("conv_id", "r_conv_id")
+        .withColumnRenamed("turn_idx", "r_turn_idx")
+        .withWatermark("done_ts", watermark)
+    )
+    joined = req.join(
+        res,
+        (F.col("conv_id") == F.col("r_conv_id"))
+        & (F.col("turn_idx") == F.col("r_turn_idx"))
+        & (F.col("done_ts") >= F.col("req_ts"))
+        & (
+            F.col("done_ts")
+            <= F.col("req_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        "status",
+        "req_ts",
+        "done_ts",
+        (F.unix_timestamp("done_ts") - F.unix_timestamp("req_ts"))
+        .cast("bigint")
+        .alias("latency_s"),
+    )
+
+
+def run_stream_correlation(
+    spark: SparkSession,
+    requests_path: str,
+    results_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    max_lag_minutes: int = 60,
+):
+    """Drain both streams with an availableNow trigger, appending matched
+    pairs to parquet.  Returns the query handle (caller awaits)."""
+    df = correlate_streams(
+        spark, requests_path, results_path, watermark, max_lag_minutes
+    )
+    return (
+        df.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

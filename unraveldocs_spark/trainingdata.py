@@ -2387,8 +2387,243 @@ FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
 SQL_LANG_CONFUSION = _lang_confusion_sql()
 
 
+_SHARD_TOKEN_BUDGET = 2000
+_EXPORT_CONTAM_MAX_E4 = 2500
+
+
+def q_corpus_export_shards(spark, sf_dir):
+    """Capstone #2 — the EXPORT side of corpus prep: Gopher quality gate
+    -> C4 chunk-grain boilerplate drop (corpus-wide frequency) ->
+    benchmark decontamination -> deterministic token-budget shard packing
+    (per-lang running token total, shard = cum_before // budget), emitting
+    per-shard document and token counts.  This is the stage that turns a
+    filtered corpus into the fixed-size shards a training run streams.
+
+    Scale shape: the gate is per-row and rides the paragraph scan; chunk
+    frequency is the line_dedup shape (groupBy hash + join back);
+    decontamination broadcasts the benchmark n-gram set; shard packing
+    and the final rollup SHARE one lang partitioning (window then
+    groupBy(lang, shard)).  Two scans of documents total (chunk branch +
+    shingle branch).  At 10^12 docs the doc_id packing order is the
+    ingest order, so shards are append-stable: adding documents never
+    re-packs existing shards."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    mwl_e2 = F.round(
+        F.lit(100.0) * F.length(F.concat_ws("", toks)) / n_words
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_e4 = F.round(F.lit(10000.0) * n_alpha / n_words).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    gate = (
+        (n_words >= _GOPHER_MIN_WORDS)
+        & (n_words <= _GOPHER_MAX_WORDS)
+        & (mwl_e2 >= _GOPHER_MIN_MWL_E2)
+        & (mwl_e2 <= _GOPHER_MAX_MWL_E2)
+        & (alpha_e4 >= _GOPHER_MIN_ALPHA_E4)
+        & (n_stop >= _GOPHER_MIN_STOP)
+    )
+    gated = d.filter(gate).select("doc_id", "lang")
+
+    # C4 chunk drop: frequency over the FULL corpus, drop applied to
+    # gated docs; per-doc surviving token count from the kept chunks
+    paras = _paragraphs(d).withColumn("h", F.md5(F.col("para").cast("binary")))
+    freq = paras.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    kept_tokens = (
+        paras.join(freq, "h")
+        .filter(F.col("n_docs") < _CHUNK_DROP_MIN_DOCS)
+        .groupBy("doc_id")
+        .agg(F.sum(F.size(F.split(F.col("para"), " "))).cast("bigint").alias("n_tokens"))
+    )
+
+    # decontamination: original-text bigrams vs the benchmark set
+    sh = d.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+    bench_sh = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    contam = (
+        sh.filter((F.col("doc_id") % _BENCH_MOD != 0) & (F.size("sh") > 0))
+        .select("doc_id", F.explode("sh").alias("sh"))
+        .join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.round(
+                    F.lit(10000.0)
+                    * F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    / F.count(F.lit(1))
+                ).cast("bigint")
+            ).alias("contam_e4")
+        )
+        .filter(F.col("contam_e4") < _EXPORT_CONTAM_MAX_E4)
+        .select("doc_id")
+    )
+
+    export = gated.join(kept_tokens, "doc_id").join(contam, "doc_id")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    packed = export.select(
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / _SHARD_TOKEN_BUDGET).cast("int").alias("shard_id"),
+    )
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+SQL_CORPUS_EXPORT_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INT) AS n_words,
+         CAST(ROUND(100.0 * length(list_aggregate(toks, 'string_agg', ''))
+                    / len(toks)) AS BIGINT) AS mwl_e2,
+         CAST(ROUND(10000.0 * len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                    / len(toks)) AS BIGINT) AS alpha_e4,
+         CAST(len(list_filter(list_distinct(toks),
+                              x -> list_contains({list(_STOPWORDS)!r}, x))) AS INT)
+           AS n_stop
+  FROM t
+), gated AS (
+  SELECT doc_id, lang FROM m
+  WHERE n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+    AND mwl_e2 BETWEEN {_GOPHER_MIN_MWL_E2} AND {_GOPHER_MAX_MWL_E2}
+    AND alpha_e4 >= {_GOPHER_MIN_ALPHA_E4} AND n_stop >= {_GOPHER_MIN_STOP}
+), wtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pidx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {_PARA_WORDS}.0) AS BIGINT))) AS para_idx
+  FROM wtoks
+), paras AS (
+  SELECT doc_id, para_idx,
+         array_to_string(list_slice(toks, para_idx * {_PARA_WORDS} + 1,
+                                    para_idx * {_PARA_WORDS} + {_PARA_WORDS}), ' ') AS para
+  FROM pidx
+), freq AS (
+  SELECT md5(para) AS h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM paras GROUP BY md5(para)
+), kept_tokens AS (
+  SELECT p.doc_id,
+         CAST(SUM(len(string_split(p.para, ' '))) AS BIGINT) AS n_tokens
+  FROM paras p JOIN freq f ON md5(p.para) = f.h
+  WHERE f.n_docs < {_CHUNK_DROP_MIN_DOCS}
+  GROUP BY p.doc_id
+), shx AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(c="text")} AS sh FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM shx WHERE doc_id % {_BENCH_MOD} = 0
+), ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM shx
+  WHERE doc_id % {_BENCH_MOD} <> 0 AND len(sh) > 0
+), contam AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(ROUND(10000.0 * SUM(CASE WHEN g IN (SELECT g FROM bench)
+                                         THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS contam_e4
+    FROM ex GROUP BY doc_id
+  ) WHERE contam_e4 < {_EXPORT_CONTAM_MAX_E4}
+), export AS (
+  SELECT g.lang, g.doc_id, k.n_tokens
+  FROM gated g JOIN kept_tokens k ON g.doc_id = k.doc_id
+               JOIN contam c ON g.doc_id = c.doc_id
+), packed AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {_SHARD_TOKEN_BUDGET}) AS INT) AS shard_id
+  FROM export
+)
+SELECT lang, shard_id, CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM packed GROUP BY lang, shard_id ORDER BY lang, shard_id
+"""
+
+
+def q_moving_window_stats(spark, sf_dir):
+    """Per-user moving-window aggregates over the event stream: 7-row
+    trailing sum / count / max of the event value, ordered by (ts,
+    event_id) — the sliding-metric shape (rate limiting, anomaly
+    baselines, rolling spend).
+
+    FP parity: values go through ROUND(value*100) AS BIGINT first, so
+    every windowed aggregate is integer arithmetic — frame-order
+    summation cannot diverge between engines.
+
+    Scale shape: ONE user_id hash Exchange feeds all three frame
+    aggregates (same WindowSpec), and user_id is the natural uniform key;
+    a hot user would be salted upstream like the conv_id pipeline."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        e.select("event_id", "user_id", "ts", cents.alias("value_c"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum("value_c").over(w).alias("moving7_sum_c"),
+            F.count(F.lit(1)).over(w).cast("int").alias("moving7_n"),
+            F.max("value_c").over(w).alias("moving7_max_c"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+SQL_MOVING_WINDOW_STATS = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       SUM(value_c) OVER w AS moving7_sum_c,
+       CAST(COUNT(*) OVER w AS INT) AS moving7_n,
+       MAX(value_c) OVER w AS moving7_max_c
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
     "vocab_topk": {"builder": q_vocab_topk, "sql": SQL_VOCAB_TOPK},
+    "moving_window_stats": {
+        "builder": q_moving_window_stats,
+        "sql": SQL_MOVING_WINDOW_STATS,
+    },
+    "corpus_export_shards": {
+        "builder": q_corpus_export_shards,
+        "sql": SQL_CORPUS_EXPORT_SHARDS,
+    },
     "lang_confusion": {"builder": q_lang_confusion, "sql": SQL_LANG_CONFUSION},
     "quality_gopher": {"builder": q_quality_gopher, "sql": SQL_QUALITY_GOPHER},
     "quality_repetition": {
