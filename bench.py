@@ -123,6 +123,8 @@ HEADLINE_QUERIES = (
     "regional_revenue",
     "moving_window_stats",
     "corpus_export_shards",
+    "event_type_pivot",
+    "fuzzy_search",
 )
 
 

@@ -418,3 +418,46 @@ class TestRoundThreeLatePlans:
             if "hashpartitioning(lang" in l
         ]
         assert len(lang_parts) <= 1, plan
+
+
+class TestAnalyticsOperatorPlans:
+    def test_fuzzy_search_broadcasts_vocab(self, spark):
+        """Edit distance runs on the DISTINCT vocabulary side only; the
+        matched-vocab set broadcasts back — the corpus-side token scan
+        never computes a Levenshtein."""
+        from unraveldocs_spark.trainingdata import q_fuzzy_search
+
+        plan = plan_of(q_fuzzy_search(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # vocab distinct + doc rollup; no further corpus shuffles
+        assert plan.count("hashpartitioning") <= 3, plan
+
+    def test_event_pivot_explicit_values_no_extra_job(self, spark):
+        """Explicit pivot values mean no distinct-values scan and no
+        join; Spark's standard two-stage pivot plan ((user, type) partial
+        agg, then pivotfirst per user — the second shuffle moves one row
+        per (user, type)) is the accepted shape."""
+        from unraveldocs_spark.trainingdata import q_event_type_pivot
+
+        plan = plan_of(q_event_type_pivot(spark, SF), "simple")
+        assert plan.count("hashpartitioning") <= 2, plan
+        assert "Join" not in plan
+        assert "pivotfirst" in plan
+
+    def test_quartiles_collapse_before_ntile(self, spark):
+        """Event volume collapses to per-user totals (map-side combine)
+        BEFORE the ntile window touches anything."""
+        from unraveldocs_spark.trainingdata import q_user_value_quartiles
+
+        plan = plan_of(q_user_value_quartiles(spark, SF), "simple")
+        assert plan.count("hashpartitioning") >= 1
+        assert "Join" not in plan
+        assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+    def test_length_histogram_single_tiny_shuffle(self, spark):
+        from unraveldocs_spark.trainingdata import q_doc_length_histogram
+
+        plan = plan_of(q_doc_length_histogram(spark, SF), "simple")
+        assert plan.count("hashpartitioning") == 1, plan
+        assert "Join" not in plan

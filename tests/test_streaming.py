@@ -356,3 +356,35 @@ def test_stream_stream_join_matches_batch_join(spark, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def test_streaming_session_windows_match_batch_sessionize(spark, tmp_path):
+    """F.session_window sessions must agree with the batch gap
+    sessionization (q_sessionize) on session count, per-session event
+    count, and session start — same 30-minute gap rule."""
+    from pyspark.sql import functions as F
+
+    from unraveldocs_spark.streaming_windows import run_session_rollup
+    from unraveldocs_spark.trainingdata import q_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path / "sess-in")  # readStream needs a directory
+    spark.read.parquet(f"{sf}/events.parquet").repartition(2).write.parquet(in_dir)
+    out_dir = str(tmp_path / "sess-out")
+    q = run_session_rollup(spark, in_dir, out_dir, str(tmp_path / "sess-ckpt"))
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).select("user_id", "start_epoch", "n_events")
+    batch = q_sessionize(spark, sf).select(
+        "user_id", "start_epoch", "n_events"
+    )
+    # append mode withholds sessions the watermark never closed (the
+    # last session per user at end-of-stream stays open), so the
+    # streaming result must be a SUBSET of the batch sessions — and must
+    # cover every batch session that is not the user's last one.
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    w_last = batch.groupBy("user_id").agg(F.max("start_epoch").alias("start_epoch"))
+    non_last = batch.join(w_last, ["user_id", "start_epoch"], "left_anti")
+    missing = non_last.exceptAll(got).count()
+    assert missing == 0, f"{missing} finalized sessions missing from the stream"

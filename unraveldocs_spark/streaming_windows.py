@@ -166,3 +166,60 @@ def run_stream_correlation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows: the gap-sessionization operator as a stream
+# ---------------------------------------------------------------------------
+
+EVENT_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+)
+
+
+def session_rollup_stream(
+    spark: SparkSession,
+    input_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """readStream(events) -> watermark(ts) -> F.session_window(gap) per
+    user: the streaming restatement of the batch `sessionize` query.
+    Spark merges events whose gaps are under ``gap`` into one growing
+    session window and finalizes it once the watermark passes session_end
+    — state per user is ONE open session, not the event history."""
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).alias("start_epoch"),
+            "n_events",
+        )
+    )
+
+
+def run_session_rollup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+):
+    """Drain with availableNow, appending watermark-finalized sessions."""
+    df = session_rollup_stream(spark, input_path, gap, watermark)
+    return (
+        df.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2614,8 +2614,187 @@ ORDER BY user_id, ts, event_id
 """
 
 
+_FUZZY_TERM = "tble"  # a typo of the corpus token 'table'
+_FUZZY_MAX_DIST = 1
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Typo-tolerant search: documents containing a token within
+    Levenshtein distance 1 of the query term, with per-doc match counts.
+
+    Scale shape: the edit distance runs once per DISTINCT vocabulary
+    token (vocabulary ≪ corpus tokens), the surviving fuzzy-vocabulary
+    set broadcasts, and the corpus side is one explode + broadcast join +
+    groupBy(doc_id) — the token scan never computes a distance.  This is
+    how fuzzy search actually deploys: dictionary-side expansion, not
+    per-document string comparison."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    vocab_hits = (
+        toks.select("token")
+        .distinct()
+        .filter(F.levenshtein(F.col("token"), F.lit(_FUZZY_TERM)) <= _FUZZY_MAX_DIST)
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab_hits), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matches"),
+            F.array_sort(F.collect_set("token")).alias("matched_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_FUZZY_SEARCH = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT DISTINCT token FROM t
+  WHERE levenshtein(token, '{_FUZZY_TERM}') <= {_FUZZY_MAX_DIST}
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matches,
+       list_sort(list(DISTINCT token)) AS matched_tokens
+FROM t JOIN vocab USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(spark, sf_dir):
+    """Per-user event-type pivot: counts and cent-sums per event type as
+    columns — the wide activity-profile table a feature store exports.
+    The pivot value list is EXPLICIT, so Spark skips the extra
+    distinct-values job and the output schema is deterministic.
+
+    Scale shape: one groupBy(user_id) shuffle; the pivot is a conditional
+    aggregation inside the same hash aggregate, not a join."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    piv = (
+        e.select("user_id", "event_type", cents.alias("c"))
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+    )
+    cols = [F.col("user_id")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("int").alias(f"{t}_n"))
+        cols.append(
+            F.coalesce(F.col(f"{t}_sum_c"), F.lit(0)).cast("bigint").alias(f"{t}_sum_c")
+        )
+    return piv.select(*cols).orderBy("user_id")
+
+
+SQL_EVENT_TYPE_PIVOT = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS INT) AS {t}_n, "
+           f"CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
+           f"FILTER (WHERE event_type = '{t}'), 0) AS BIGINT) AS {t}_sum_c"
+           for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_user_value_quartiles(spark, sf_dir):
+    """Spend quartiles: total cents per user, NTILE(4) over (total desc,
+    user_id), then per-quartile user counts and sums — the segmentation
+    rollup behind pricing/quota tiers.
+
+    Scale shape: the event volume collapses to one row per user in the
+    first groupBy (map-side combine); the ntile window then runs over the
+    USER table, which is entity-bounded — at extreme user counts the same
+    bucketing is a rangepartitioning pass, and the query notes that
+    trade rather than hiding it."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    totals = e.groupBy("user_id").agg(F.sum(cents).alias("total_c"))
+    w = Window.orderBy(F.col("total_c").desc(), F.col("user_id"))
+    return (
+        totals.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_users"),
+            F.sum("total_c").cast("bigint").alias("quartile_total_c"),
+            F.min("total_c").cast("bigint").alias("min_total_c"),
+            F.max("total_c").cast("bigint").alias("max_total_c"),
+        )
+        .orderBy("quartile")
+    )
+
+
+SQL_USER_VALUE_QUARTILES = """
+WITH totals AS (
+  SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_c
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, total_c,
+         CAST(NTILE(4) OVER (ORDER BY total_c DESC, user_id) AS INT) AS quartile
+  FROM totals
+)
+SELECT quartile, CAST(COUNT(*) AS INT) AS n_users,
+       CAST(SUM(total_c) AS BIGINT) AS quartile_total_c,
+       CAST(MIN(total_c) AS BIGINT) AS min_total_c,
+       CAST(MAX(total_c) AS BIGINT) AS max_total_c
+FROM ranked GROUP BY quartile ORDER BY quartile
+"""
+
+
+def q_doc_length_histogram(spark, sf_dir):
+    """Log2 document-length histogram: bucket = bit width of n_chars
+    (length of the binary representation — integer-exact on both engines,
+    no floating log2 at power-of-two boundaries), with doc counts and
+    char totals per bucket.  Scale shape: per-row integer arithmetic +
+    one tiny groupBy (≤ 64 buckets)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.length(F.bin(F.col("n_chars"))).cast("int")
+    return (
+        d.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+SQL_DOC_LENGTH_HISTOGRAM = """
+SELECT CAST(length(bin(n_chars)) AS INT) AS log2_bucket,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY length(bin(n_chars)) ORDER BY log2_bucket
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
     "vocab_topk": {"builder": q_vocab_topk, "sql": SQL_VOCAB_TOPK},
+    "fuzzy_search": {"builder": q_fuzzy_search, "sql": SQL_FUZZY_SEARCH},
+    "event_type_pivot": {
+        "builder": q_event_type_pivot,
+        "sql": SQL_EVENT_TYPE_PIVOT,
+    },
+    "user_value_quartiles": {
+        "builder": q_user_value_quartiles,
+        "sql": SQL_USER_VALUE_QUARTILES,
+    },
+    "doc_length_histogram": {
+        "builder": q_doc_length_histogram,
+        "sql": SQL_DOC_LENGTH_HISTOGRAM,
+    },
     "moving_window_stats": {
         "builder": q_moving_window_stats,
         "sql": SQL_MOVING_WINDOW_STATS,
