@@ -461,3 +461,31 @@ class TestAnalyticsOperatorPlans:
         plan = plan_of(q_doc_length_histogram(spark, SF), "simple")
         assert plan.count("hashpartitioning") == 1, plan
         assert "Join" not in plan
+
+
+class TestFunnelDqPlans:
+    def test_funnel_joins_on_user_only(self, spark):
+        """Both funnel stages key on user_id — conditional-min first
+        stage, equi-join purchase leg; no cartesian anywhere."""
+        from unraveldocs_spark.trainingdata import q_funnel_conversion
+
+        plan = plan_of(q_funnel_conversion(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_dq_referential_checks_are_anti_joins(self, spark):
+        """Orphan checks must plan as anti-joins on the key columns,
+        never NOT IN rewritten to a nested loop."""
+        from unraveldocs_spark.trainingdata import q_dq_checks
+
+        plan = plan_of(q_dq_checks(spark, SF), "simple")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_topk_per_lang_single_exchange(self, spark):
+        from unraveldocs_spark.trainingdata import q_topk_docs_per_lang
+
+        plan = plan_of(q_topk_docs_per_lang(spark, SF), "simple")
+        assert plan.count("hashpartitioning") == 1, plan
+        assert "Join" not in plan

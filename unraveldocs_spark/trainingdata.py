@@ -2780,8 +2780,212 @@ FROM documents GROUP BY length(bin(n_chars)) ORDER BY log2_bucket
 """
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Signup -> purchase conversion funnel: per user, the FIRST signup
+    and the first purchase AT OR AFTER that signup; rolled up per signup
+    day into signups, conversions, conversion rate, and median-free
+    latency stats (integer seconds).
+
+    Scale shape: one groupBy(user_id) computes the first signup
+    (conditional min — no self-join for stage one); the purchase leg
+    re-aggregates events filtered to purchases with a join on user_id
+    against the tiny signup-users side.  Both shuffles key on user_id;
+    the final rollup is day-cardinality."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("signup_es"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "es")
+    conv = (
+        purchases.join(signups, "user_id")
+        .filter(F.col("es") >= F.col("signup_es"))
+        .groupBy("user_id", "signup_es")
+        .agg(F.min("es").alias("first_purchase_es"))
+    )
+    day = F.to_date(F.from_unixtime(F.col("signup_es"))).alias("signup_day")
+    per_user = signups.join(conv, ["user_id", "signup_es"], "left")
+    return (
+        per_user.groupBy(day)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_signups"),
+            F.count("first_purchase_es").cast("int").alias("n_converted"),
+            F.round(
+                F.lit(10000.0)
+                * F.count("first_purchase_es")
+                / F.count(F.lit(1))
+            ).cast("bigint").alias("conv_rate_e4"),
+            F.sum(F.col("first_purchase_es") - F.col("signup_es"))
+            .cast("bigint")
+            .alias("total_latency_s"),
+        )
+        .orderBy("signup_day")
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), signups AS (
+  SELECT user_id, MIN(es) AS signup_es FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT p.user_id, s.signup_es, MIN(p.es) AS first_purchase_es
+  FROM e p JOIN signups s ON p.user_id = s.user_id
+  WHERE p.event_type = 'purchase' AND p.es >= s.signup_es
+  GROUP BY p.user_id, s.signup_es
+)
+SELECT CAST(to_timestamp(s.signup_es) AS DATE) AS signup_day,
+       CAST(COUNT(*) AS INT) AS n_signups,
+       CAST(COUNT(c.first_purchase_es) AS INT) AS n_converted,
+       CAST(ROUND(10000.0 * COUNT(c.first_purchase_es) / COUNT(*)) AS BIGINT)
+         AS conv_rate_e4,
+       CAST(SUM(c.first_purchase_es - c.signup_es) AS BIGINT) AS total_latency_s
+FROM signups s LEFT JOIN conv c
+  ON s.user_id = c.user_id AND s.signup_es = c.signup_es
+GROUP BY CAST(to_timestamp(s.signup_es) AS DATE)
+ORDER BY signup_day
+"""
+
+
+def q_dq_checks(spark, sf_dir):
+    """Data-quality check battery over the warehouse tables — the
+    validation pass a pipeline runs before promoting a snapshot: null
+    checks, domain checks (negative quantities/prices), and referential
+    checks (orphaned orders.o_custkey / lineitem.l_orderkey), one row per
+    check with violation counts.
+
+    Scale shape: null/domain checks are per-row conditional sums folded
+    into ONE aggregate per table (a single scan each — never one scan per
+    check); referential checks are anti-join counts on the join keys.
+    The result is check-cardinality, unioned driver-side."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def one(name, cnt):
+        return cnt.cast("bigint").alias(name)
+
+    order_checks = o.agg(
+        one("orders_null_custkey", F.sum(F.col("o_custkey").isNull().cast("int"))),
+        one(
+            "orders_nonpositive_total",
+            F.sum((F.col("o_totalprice") <= 0).cast("int")),
+        ),
+    )
+    li_checks = li.agg(
+        one("lineitem_nonpositive_qty", F.sum((F.col("l_quantity") <= 0).cast("int"))),
+        one(
+            "lineitem_discount_range",
+            F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("int")),
+        ),
+    )
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            one("orders_orphan_custkey", F.count(F.lit(1)))
+        )
+    )
+    orphan_lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            one("lineitem_orphan_orderkey", F.count(F.lit(1)))
+        )
+    )
+
+    def melt(df):
+        cols = df.columns
+        stack = ", ".join(f"'{c}', {c}" for c in cols)
+        return df.selectExpr(
+            f"stack({len(cols)}, {stack}) as (check_name, violations)"
+        )
+
+    out = (
+        melt(order_checks)
+        .unionByName(melt(li_checks))
+        .unionByName(melt(orphan_orders))
+        .unionByName(melt(orphan_lines))
+    )
+    return out.orderBy("check_name")
+
+
+SQL_DQ_CHECKS = """
+WITH o AS (
+  SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS orders_null_custkey,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS orders_nonpositive_total
+  FROM orders
+), l AS (
+  SELECT CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS lineitem_nonpositive_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS lineitem_discount_range
+  FROM lineitem
+), oo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orders_orphan_custkey
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+), ol AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lineitem_orphan_orderkey
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT 'orders_null_custkey' AS check_name, orders_null_custkey AS violations FROM o
+UNION ALL
+SELECT 'orders_nonpositive_total', orders_nonpositive_total FROM o
+UNION ALL
+SELECT 'lineitem_nonpositive_qty', lineitem_nonpositive_qty FROM l
+UNION ALL
+SELECT 'lineitem_discount_range', lineitem_discount_range FROM l
+UNION ALL
+SELECT 'orders_orphan_custkey', orders_orphan_custkey FROM oo
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', lineitem_orphan_orderkey FROM ol
+ORDER BY check_name
+"""
+
+
+_TOPK_PER_LANG = 3
+
+
+def q_topk_docs_per_lang(spark, sf_dir):
+    """Top-K documents per language by length (rank window, deterministic
+    (n_chars desc, doc_id) order) — the per-group top-N shape.  One lang
+    Exchange; row_number + filter, never a global sort."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK_PER_LANG)
+        .select("lang", "rank", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("lang", "rank")
+    )
+
+
+SQL_TOPK_DOCS_PER_LANG = f"""
+SELECT lang, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+  FROM documents
+) WHERE rank <= {_TOPK_PER_LANG}
+ORDER BY lang, rank
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
     "vocab_topk": {"builder": q_vocab_topk, "sql": SQL_VOCAB_TOPK},
+    "funnel_conversion": {
+        "builder": q_funnel_conversion,
+        "sql": SQL_FUNNEL_CONVERSION,
+    },
+    "dq_checks": {"builder": q_dq_checks, "sql": SQL_DQ_CHECKS},
+    "topk_docs_per_lang": {
+        "builder": q_topk_docs_per_lang,
+        "sql": SQL_TOPK_DOCS_PER_LANG,
+    },
     "fuzzy_search": {"builder": q_fuzzy_search, "sql": SQL_FUZZY_SEARCH},
     "event_type_pivot": {
         "builder": q_event_type_pivot,
