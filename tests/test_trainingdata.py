@@ -437,3 +437,101 @@ class TestConnectedComponents:
             assert labels_of(connected_components_star, edge_list) == labels_of(
                 connected_components, edge_list
             ), edge_list
+
+
+class TestProductQuantization:
+    def test_pq_codes_deterministic_and_in_range(self, spark):
+        """Encoding the same vectors twice yields identical codes; every
+        code addresses a real centroid."""
+        import numpy as np
+
+        from unraveldocs_spark.similarity import (
+            PQ_KSUB,
+            PQ_M,
+            pq_encode_stage,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = e.orderBy("vec_id").limit(PQ_KSUB).collect()
+        cb = np.asarray([list(r.embedding) for r in rows], dtype=np.float64)
+        dsub = cb.shape[1] // PQ_M
+        books = np.stack([cb[:, m * dsub:(m + 1) * dsub] for m in range(PQ_M)])
+        a = {r.vec_id: list(r.codes) for r in pq_encode_stage(e, books).collect()}
+        b = {r.vec_id: list(r.codes) for r in pq_encode_stage(e, books).collect()}
+        assert a == b
+        assert all(len(c) == PQ_M for c in a.values())
+        assert all(0 <= x < PQ_KSUB for c in a.values() for x in c)
+
+    def test_pq_scores_match_python_reference(self, spark):
+        """The integer-lut Spark scoring must equal a pure-Python ADC
+        recomputation (same codebook seeding, same sequential dot, same
+        half-away rounding) for every returned row, in order."""
+        import numpy as np
+
+        from unraveldocs_spark.similarity import (
+            PQ_KSUB,
+            PQ_M,
+            _round_half_away_e6,
+            pq_topk,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qvec = [float(x) for x in e.filter("vec_id = 0").first().embedding]
+        base = e.filter("vec_id <> 0")
+        got = pq_topk(base, qvec, k=10).collect()
+        assert len(got) == 10
+        scores = [r.ip_e6 for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+        rows = base.orderBy("vec_id").limit(PQ_KSUB).collect()
+        cb = np.asarray([list(r.embedding) for r in rows], dtype=np.float64)
+        dsub = cb.shape[1] // PQ_M
+        books = [cb[:, m * dsub:(m + 1) * dsub] for m in range(PQ_M)]
+
+        def py_score(vec):
+            total = 0
+            v = [float(x) for x in vec]
+            for m in range(PQ_M):
+                sub = v[m * dsub:(m + 1) * dsub]
+                best, best_d = 0, None
+                for j in range(PQ_KSUB):
+                    dd = sum(
+                        (sub[i] - float(books[m][j][i])) ** 2 for i in range(dsub)
+                    )
+                    if best_d is None or dd < best_d:
+                        best, best_d = j, dd
+                s = 0.0
+                for i in range(dsub):
+                    s += float(books[m][best][i]) * qvec[m * dsub + i]
+                total += _round_half_away_e6(s)
+            return total
+
+        vecs = {r.vec_id: r.embedding for r in base.collect()}
+        for r in got:
+            assert r.ip_e6 == py_score(vecs[r.vec_id]), r.vec_id
+
+
+class TestFuzzySearchEdges:
+    def test_distance_boundary(self, spark):
+        """Tokens at exactly the max distance match; distance 2 does not
+        (pins the <= comparison and the vocabulary-side filtering)."""
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.trainingdata import (
+            _FUZZY_MAX_DIST,
+            _FUZZY_TERM,
+            q_fuzzy_search,
+        )
+
+        res = q_fuzzy_search(spark, "/root/testdata/sf0.001")
+        toks = {t for r in res.collect() for t in r.matched_tokens}
+        assert toks, "no fuzzy matches found"
+        import duckdb
+
+        for t in toks:
+            d = duckdb.sql(
+                f"select levenshtein('{t}', '{_FUZZY_TERM}')"
+            ).fetchone()[0]
+            assert d <= _FUZZY_MAX_DIST, (t, d)
+        # 'table' itself is distance 1 from 'tble' and must be matched
+        assert "table" in toks
