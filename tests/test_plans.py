@@ -489,3 +489,21 @@ class TestFunnelDqPlans:
         plan = plan_of(q_topk_docs_per_lang(spark, SF), "simple")
         assert plan.count("hashpartitioning") == 1, plan
         assert "Join" not in plan
+
+
+class TestTransitionTfidfPlans:
+    def test_status_transitions_one_user_exchange(self, spark):
+        from unraveldocs_spark.trainingdata import q_status_transitions
+
+        plan = plan_of(q_status_transitions(spark, SF), "simple")
+        assert plan.count("hashpartitioning") <= 2, plan
+        assert "Join" not in plan
+
+    def test_tfidf_equi_joins_vocab(self, spark):
+        """df joins back on the token key — equi-join, no cartesian; the
+        rank window is the only doc_id partitioning."""
+        from unraveldocs_spark.trainingdata import q_tfidf_topk
+
+        plan = plan_of(q_tfidf_topk(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -2975,8 +2975,118 @@ ORDER BY lang, rank
 """
 
 
+def q_status_transitions(spark, sf_dir):
+    """Event-type transition matrix: per user, consecutive event pairs
+    (lag window ordered by (ts, event_id)) counted into a Markov-style
+    transition table — the behavioral-model prep that turns a raw event
+    log into sequence statistics.
+
+    Scale shape: one user_id Exchange for the lag window, then a
+    #types^2-cardinality groupBy with map-side combine."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+SQL_STATUS_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
+  FROM events
+), lagged AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           AS prev_type
+  FROM e
+)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+
+
+_TFIDF_TOPK = 3
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-K distinguishing terms by TF-IDF ordering — the
+    keyword-extraction shape.  Ranks by tf/df (document frequency from
+    the corpus-wide vocabulary), which orders identically to true TF-IDF
+    for a fixed corpus since ln(N/df) is monotone in 1/df.
+
+    FP parity: the rank key is the IEEE double quotient tf/df — division
+    is exact-rounded and bit-identical across engines, and the (token)
+    tie-break resolves equal quotients deterministically, so no logarithm
+    (whose libm implementations may differ) ever enters the comparison.
+    Outputs are the integer tf/df pair.
+
+    Scale shape: tf explode+groupBy(doc, token); df is the vocabulary
+    aggregate (distinct-doc counts, vocabulary-cardinality) joined back
+    on token; rank window on doc_id."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
+        F.col("token"),
+    )
+    return (
+        tf.join(df, "token")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_TFIDF_TOPK = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY token
+), ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.token
+         ) AS INT) AS rank
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, rank, token, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df
+FROM ranked WHERE rank <= {_TFIDF_TOPK} ORDER BY doc_id, rank
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
     "vocab_topk": {"builder": q_vocab_topk, "sql": SQL_VOCAB_TOPK},
+    "status_transitions": {
+        "builder": q_status_transitions,
+        "sql": SQL_STATUS_TRANSITIONS,
+    },
+    "tfidf_topk": {"builder": q_tfidf_topk, "sql": SQL_TFIDF_TOPK},
     "funnel_conversion": {
         "builder": q_funnel_conversion,
         "sql": SQL_FUNNEL_CONVERSION,
