@@ -535,3 +535,28 @@ class TestFuzzySearchEdges:
             assert d <= _FUZZY_MAX_DIST, (t, d)
         # 'table' itself is distance 1 from 'tble' and must be matched
         assert "table" in toks
+
+
+def test_round_half_away_matches_duckdb_round():
+    """_round_half_away_e6 must agree with DuckDB's CAST(ROUND(y*1e6) AS
+    BIGINT) — the contract that keeps the PQ lookup tables engine-exact.
+    Deterministic sample: mix64-derived doubles over several magnitudes,
+    plus exact .5-boundary values."""
+    import duckdb
+
+    from unraveldocs_spark.generator import mix64
+    from unraveldocs_spark.similarity import _round_half_away_e6
+
+    vals = []
+    for k in range(500):
+        m = mix64(90_000 + k)
+        mag = 10.0 ** ((m >> 48) % 6 - 3)  # 1e-3 .. 1e2
+        v = ((m % 2_000_001) / 1_000_000.0 - 1.0) * mag
+        vals.append(v)
+    vals += [0.0000005, -0.0000005, 0.0000015, -0.0000015, 1.5e-6, 123.4567895]
+    sql = "SELECT " + ", ".join(
+        f"CAST(ROUND(CAST({v!r} AS DOUBLE) * 1000000.0) AS BIGINT)" for v in vals
+    )
+    duck = duckdb.sql(sql).fetchone()
+    for v, expect in zip(vals, duck):
+        assert _round_half_away_e6(v) == expect, v
