@@ -560,3 +560,42 @@ def test_round_half_away_matches_duckdb_round():
     duck = duckdb.sql(sql).fetchone()
     for v, expect in zip(vals, duck):
         assert _round_half_away_e6(v) == expect, v
+
+
+def test_minhash_wide_band_candidates_subset(spark):
+    """Widening rows-per-band (2x8 vs the default 4x4 over the same K=16
+    family prefix) must only REMOVE candidates... not strictly a subset
+    mathematically (different hash indices feed the bands), but on the
+    driver corpus every true near-dup pair survives: the thresholded
+    Jaccard pairs derived from wide-band candidates equal the ones from
+    default bands."""
+    from pyspark.sql import functions as F
+
+    from unraveldocs_spark.trainingdata import (
+        _JACCARD_DEN,
+        _JACCARD_NUM,
+        _minhash_candidate_pairs,
+        _spark_shingles,
+        _t,
+    )
+
+    sh = (
+        _t(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+    def thresholded(cands):
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return sorted(
+            (r.doc_a, r.doc_b)
+            for r in cands.filter(
+                inter * _JACCARD_DEN >= union * _JACCARD_NUM
+            ).collect()
+        )
+
+    default_pairs = thresholded(_minhash_candidate_pairs(sh))
+    wide_pairs = thresholded(_minhash_candidate_pairs(sh, n_bands=2, n_rows=8))
+    assert default_pairs, "expected some near-dup pairs in the base corpus"
+    assert wide_pairs == default_pairs

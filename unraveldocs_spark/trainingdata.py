@@ -173,13 +173,23 @@ def _spark_shingle_hashes(sh_col):
     )
 
 
-def _minhash_candidate_pairs(d):
+def _minhash_candidate_pairs(d, n_bands: int = _MH_BANDS, n_rows: int = _MH_ROWS):
     """shingle-set DataFrame (doc_id, sh) -> deduplicated candidate pairs
     (doc_a, doc_b, sh_a, sh_b) whose MinHash signatures collide in at
     least one LSH band.  The join key (band_idx, band_key) is
     data-dependent: bucket sizes track the corpus's actual similarity
     structure, never O(n^2/#blocks).  Shared by q_dedup_minhash_lsh and
-    q_dedup_ngram_jaccard."""
+    q_dedup_ngram_jaccard.
+
+    Band-shape sizing (measured, BENCH/DEDUP_SCALE.md): rows-per-band
+    must GROW with log(n) — over a 16x corpus the default 4x4 shape grew
+    candidates 83x (baseline-similarity collisions scale n^2 x s^r)
+    while a 2x8 shape held them absolutely flat at the true near-dup
+    pairs.  The driver-scale default stays 4x4 (oracle-mirrored); a
+    production deployment passes wider n_rows as n grows, raising K
+    alongside so band count (recall) is preserved.  Requires
+    n_bands * n_rows <= the _MH_K hash family size."""
+    assert n_bands * n_rows <= _MH_K, (n_bands, n_rows, _MH_K)
     d = d.withColumn("hs", _spark_shingle_hashes(F.col("sh")))
 
     def _min_hash(j):
@@ -192,7 +202,7 @@ def _minhash_candidate_pairs(d):
             )
         ).alias(f"m{j}")
 
-    mins = [_min_hash(j) for j in range(_MH_K)]
+    mins = [_min_hash(j) for j in range(n_bands * n_rows)]
     sigs = d.select("doc_id", "sh", *mins)
     # The shingle array RIDES THROUGH the band explode here (4x data)
     # rather than joining back per side: MinHash band keys are
@@ -213,12 +223,12 @@ def _minhash_candidate_pairs(d):
                         F.concat_ws(
                             "-",
                             *[
-                                F.col(f"m{b * _MH_ROWS + r}").cast("string")
-                                for r in range(_MH_ROWS)
+                                F.col(f"m{b * n_rows + r}").cast("string")
+                                for r in range(n_rows)
                             ],
                         ).alias("band_key"),
                     )
-                    for b in range(_MH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band"),
