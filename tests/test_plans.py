@@ -507,3 +507,16 @@ class TestTransitionTfidfPlans:
         plan = plan_of(q_tfidf_topk(spark, SF), "simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRangeJoinPlan:
+    def test_range_join_is_bucketed_equi_never_nested_loop(self, spark):
+        """Interval containment must plan as an equi-join on
+        (user_id, bucket) with the range predicate as a post-filter —
+        the nested-loop a naive BETWEEN join degrades to is forbidden."""
+        from unraveldocs_spark.trainingdata import q_range_join_bucketed
+
+        plan = plan_of(q_range_join_bucketed(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "bucket" in plan

@@ -3090,8 +3090,107 @@ FROM ranked WHERE rank <= {_TFIDF_TOPK} ORDER BY doc_id, rank
 """
 
 
+_RANGE_BUCKET_S = 3600  # 1-hour interval-join buckets
+
+
+def q_range_join_bucketed(spark, sf_dir):
+    """Bucketed interval join: each ERROR event joined to the session
+    that CONTAINS it (ts within [session_start, session_end]), rolled up
+    to error counts per session.  The interval-containment join is the
+    shape Spark degrades to a nested-loop on; the scale answer is
+    time-bucketing — explode each session over the hour buckets it
+    spans, bucket each event once, equi-join on (user_id, bucket), and
+    refine with the exact range predicate.  An event lands in exactly
+    one bucket and sessions never overlap per user, so no pair dedup is
+    needed.
+
+    At 100 TB: bucket width trades explode factor (long sessions span
+    more buckets) against bucket occupancy — 2x the median session
+    length is the standard pick; both sides shuffle once on
+    (user_id, bucket)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gap = F.col("es") - F.lag("es").over(w)
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0)
+    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        e.withColumn("session_seq", seq.cast("int"))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("es").alias("start_epoch"), F.max("es").alias("end_epoch"))
+    )
+    B = _RANGE_BUCKET_S
+    sess_b = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("start_epoch") / B).cast("bigint"),
+                (F.col("end_epoch") / B).cast("bigint"),
+            )
+        ),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "es", ((F.col("es") / B).cast("bigint")).alias("bucket")
+    )
+    return (
+        errors.join(sess_b, ["user_id", "bucket"])
+        .filter(
+            (F.col("es") >= F.col("start_epoch"))
+            & (F.col("es") <= F.col("end_epoch"))
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_errors"),
+            F.min("es").alias("first_error_es"),
+            F.max("es").alias("last_error_es"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_RANGE_JOIN_BUCKETED = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), g AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN LAG(es) OVER w IS NULL
+                OR es - LAG(es) OVER w > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+), s AS (
+  SELECT user_id, es,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+  FROM g
+), sessions AS (
+  SELECT user_id, session_seq, MIN(es) AS start_epoch, MAX(es) AS end_epoch
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT e.user_id, sessions.session_seq,
+       CAST(COUNT(*) AS INT) AS n_errors,
+       MIN(e.es) AS first_error_es,
+       MAX(e.es) AS last_error_es
+FROM e JOIN sessions
+  ON e.user_id = sessions.user_id
+ AND e.es BETWEEN sessions.start_epoch AND sessions.end_epoch
+WHERE e.event_type = 'error'
+GROUP BY e.user_id, sessions.session_seq
+ORDER BY e.user_id, sessions.session_seq
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
     "vocab_topk": {"builder": q_vocab_topk, "sql": SQL_VOCAB_TOPK},
+    "range_join_bucketed": {
+        "builder": q_range_join_bucketed,
+        "sql": SQL_RANGE_JOIN_BUCKETED,
+    },
     "status_transitions": {
         "builder": q_status_transitions,
         "sql": SQL_STATUS_TRANSITIONS,
