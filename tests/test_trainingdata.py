@@ -599,3 +599,27 @@ def test_minhash_wide_band_candidates_subset(spark):
     wide_pairs = thresholded(_minhash_candidate_pairs(sh, n_bands=2, n_rows=8))
     assert default_pairs, "expected some near-dup pairs in the base corpus"
     assert wide_pairs == default_pairs
+
+
+def test_pq_rerank_contains_exact_scores(spark):
+    """The re-rank path must return true-cosine scores for vectors drawn
+    from the ADC shortlist: every returned cos_e4 equals the exact cosine
+    (computed driver-side) and the result is ordered by it."""
+    import numpy as np
+
+    from unraveldocs_spark.similarity import pq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in e.filter("vec_id = 0").first().embedding]
+    base = e.filter("vec_id <> 0")
+    got = pq_topk(base, qvec, k=5, rerank=50).collect()
+    assert len(got) == 5
+    q = np.asarray(qvec)
+    qn = q / np.linalg.norm(q)
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in base.collect()}
+    scores = [r.cos_e4 for r in got]
+    assert scores == sorted(scores, reverse=True)
+    for r in got:
+        v = vecs[r.vec_id]
+        exact = float((v / np.linalg.norm(v)) @ qn)
+        assert abs(r.cos_e4 - round(exact * 10000)) <= 1, r
