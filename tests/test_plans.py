@@ -520,3 +520,15 @@ class TestRangeJoinPlan:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "bucket" in plan
+
+
+class TestSemanticDedupPlan:
+    def test_pairs_join_on_centroid_never_cross(self, spark):
+        """SemDeDup pairs join on centroid_id (cluster-scoped) — never a
+        cross join of the vector table."""
+        from unraveldocs_spark.trainingdata import q_semantic_dedup
+
+        plan = plan_of(q_semantic_dedup(spark, SF), "simple")
+        assert "centroid_id" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

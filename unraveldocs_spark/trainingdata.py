@@ -3185,8 +3185,106 @@ ORDER BY e.user_id, sessions.session_seq
 """
 
 
+_SEMDEDUP_K = 16  # coarse clusters (k grows ~n/cluster_size in production)
+_SEMDEDUP_COS = 0.35  # near-identical threshold (driver embeddings' scale)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space coarsely, compare vectors ONLY within their
+    cluster, connect pairs above the cosine threshold into duplicate
+    groups, and keep each group's min vec_id.  Output: every vector with
+    its cluster, its duplicate-group id, and the keep verdict.
+
+    Scale shape: assignment is one Arrow pass against the broadcast
+    codebook (stored as a partition column in production); the pair join
+    keys on centroid_id, so pair volume is n x cluster_size, governed by
+    k — SemDeDup grows k with n to hold cluster_size constant (the same
+    scaling lever as band bits).  Group resolution reuses the bounded
+    min-label propagation over PAIRS only.  Deterministic codebook (16
+    lowest vec_ids seed, same rule as IVF) keeps the DuckDB oracle exact;
+    kmeans_refine plugs in where exactness is not required."""
+    import numpy as np
+
+    from .similarity import _assign_stage
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent_rows = e.orderBy("vec_id").limit(_SEMDEDUP_K).collect()
+    cents = np.asarray([list(r.embedding) for r in cent_rows], dtype=np.float64)
+    cents_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assigned = _assign_stage(e, cents_unit)
+    v = e.join(assigned, "vec_id").select("vec_id", "centroid_id", "embedding")
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = _spark_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEMDEDUP_COS)
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+    )
+    labels = connected_components(pairs)  # (doc_id, label) for paired vecs
+    return (
+        v.select("vec_id", "centroid_id")
+        .join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("group_id"),
+            (F.coalesce(F.col("label"), F.col("vec_id")) == F.col("vec_id"))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE dv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM dv ORDER BY vec_id LIMIT {_SEMDEDUP_K})
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT d.vec_id, d.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid
+           ) AS rk
+    FROM dv d CROSS JOIN cents c
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_COS}
+), und AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), reach(x, y) AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.x, u.t FROM reach r JOIN und u ON r.y = u.s
+), lbl AS (
+  SELECT x AS vec_id, MIN(LEAST(x, y)) AS label FROM reach GROUP BY x
+)
+SELECT a.vec_id, CAST(a.cid AS INT) AS centroid_id,
+       COALESCE(l.label, a.vec_id) AS group_id,
+       CAST(COALESCE(l.label, a.vec_id) = a.vec_id AS INT) AS keep
+FROM assigned a LEFT JOIN lbl l ON a.vec_id = l.vec_id
+ORDER BY a.vec_id
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
     "vocab_topk": {"builder": q_vocab_topk, "sql": SQL_VOCAB_TOPK},
+    "semantic_dedup": {"builder": q_semantic_dedup, "sql": SQL_SEMANTIC_DEDUP},
     "range_join_bucketed": {
         "builder": q_range_join_bucketed,
         "sql": SQL_RANGE_JOIN_BUCKETED,
