@@ -532,3 +532,14 @@ class TestSemanticDedupPlan:
         assert "centroid_id" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTokenizePackPlan:
+    def test_single_lang_exchange(self, spark):
+        """Packing is one lang-partitioned running sum + per-row integer
+        arithmetic: exactly one hash Exchange, no join."""
+        from unraveldocs_spark.trainingdata import q_tokenize_pack
+
+        plan = plan_of(q_tokenize_pack(spark, SF), "simple")
+        assert plan.count("hashpartitioning") == 1, plan
+        assert "Join" not in plan

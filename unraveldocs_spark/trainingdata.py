@@ -3282,8 +3282,75 @@ ORDER BY a.vec_id
 """
 
 
+_PACK_SEQ_TOKENS = 512  # training context-window capacity
+
+
+def q_tokenize_pack(spark, sf_dir):
+    """Token-grain context-window packing — the final prep step before a
+    training run: documents are laid end-to-end per language in doc_id
+    order and cut into fixed 512-token sequences, with documents SPLIT
+    across sequence boundaries (no padding).  Output per document: its
+    token offset, the first/last sequence it lands in, and how many
+    sequences it spans — the index a sequence-serving reader uses.
+
+    Scale shape: one lang-partitioned running-sum window (doc_id order =
+    ingest order, so packing is append-stable: new documents never move
+    existing offsets).  At 10^12 docs the per-lang running sum is
+    computed as a two-phase prefix sum (per-partition partials + a
+    broadcast prefix-offset table) — the declarative window here is the
+    same arithmetic with the partitioning visible to Catalyst.
+    Everything after the window is per-row integer arithmetic."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = d.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    P = _PACK_SEQ_TOKENS
+    out = base.select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        start.alias("start_off"),
+        F.floor(start / P).cast("int").alias("first_seq"),
+        F.floor((start + F.col("n_tokens") - 1) / P).cast("int").alias("last_seq"),
+    )
+    return out.withColumn(
+        "seq_spans", (F.col("last_seq") - F.col("first_seq") + 1).cast("int")
+    ).orderBy("lang", "doc_id")
+
+
+SQL_TOKENIZE_PACK = f"""
+WITH base AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM base
+)
+SELECT lang, doc_id, n_tokens, start_off,
+       CAST(FLOOR(start_off / {_PACK_SEQ_TOKENS}) AS INT) AS first_seq,
+       CAST(FLOOR((start_off + n_tokens - 1) / {_PACK_SEQ_TOKENS}) AS INT)
+         AS last_seq,
+       CAST(FLOOR((start_off + n_tokens - 1) / {_PACK_SEQ_TOKENS})
+            - FLOOR(start_off / {_PACK_SEQ_TOKENS}) + 1 AS INT) AS seq_spans
+FROM offs ORDER BY lang, doc_id
+"""
+
+
 TRAINING_REGISTRY: dict[str, dict] = {
     "vocab_topk": {"builder": q_vocab_topk, "sql": SQL_VOCAB_TOPK},
+    "tokenize_pack": {"builder": q_tokenize_pack, "sql": SQL_TOKENIZE_PACK},
     "semantic_dedup": {"builder": q_semantic_dedup, "sql": SQL_SEMANTIC_DEDUP},
     "range_join_bucketed": {
         "builder": q_range_join_bucketed,
