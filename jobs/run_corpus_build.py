@@ -45,9 +45,12 @@ def main():
         sf_dir = os.path.dirname(sf_dir)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # content fingerprint via XOR of per-row hashes: order-independent and
+    # overflow-free at any corpus size (a SUM of products throws under
+    # ANSI once doc_id * constant exceeds BIGINT at ~10^12-scale ids)
     fp = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("doc_id") * 2654435761 % 1000000007).alias("ck"),
+        F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("ck"),
     ).first()
     run_id = f"corpus-{fp.n}-{fp.ck}"
 
