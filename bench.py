@@ -125,6 +125,8 @@ HEADLINE_QUERIES = (
     "corpus_export_shards",
     "event_type_pivot",
     "fuzzy_search",
+    "ai_enrich",
+    "delete_reclaim",
 )
 
 

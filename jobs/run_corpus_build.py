@@ -32,6 +32,10 @@ def main():
     from pyspark.sql import SparkSession, functions as F
 
     from unraveldocs_spark.checkpoint import DirCheckpointStore
+    from unraveldocs_spark.schemas import (
+        CORPUS_LINEAGE_SCHEMA,
+        CORPUS_SHARDS_SCHEMA,
+    )
     from unraveldocs_spark.trainingdata import q_corpus_export_shards
 
     spark = SparkSession.builder.appName("unraveldocs-corpus-build").getOrCreate()
@@ -54,7 +58,14 @@ def main():
     ).first()
     run_id = f"corpus-{fp.n}-{fp.ck}"
 
-    store = DirCheckpointStore(args.store)
+    # declared schemas for THIS store's row types: reading the published
+    # parquet back under the default EXTRACTIONS_SCHEMA/LINEAGE_SCHEMA
+    # would yield silently all-null columns
+    store = DirCheckpointStore(
+        args.store,
+        results_schema=CORPUS_SHARDS_SCHEMA,
+        lineage_schema=CORPUS_LINEAGE_SCHEMA,
+    )
     if store.has_run(run_id):
         print(json.dumps({"run_id": run_id, "snapshot_id": None, "resumed": True}))
         spark.stop()

@@ -115,3 +115,18 @@ def test_iceberg_append_stamps_run_id_snapshot_property():
     store.append(results2)
     assert results2.writer.options == {}
     assert results2.writer.appended
+
+
+def test_iceberg_delete_sql_pinned():
+    from unraveldocs_spark.checkpoint import iceberg_delete_sql
+
+    assert iceberg_delete_sql("cat.db.results") == (
+        "MERGE INTO cat.db.results t USING _delete_keys u "
+        "ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert iceberg_delete_sql("cat.db.ocr", keys=["doc_id"]) == (
+        "MERGE INTO cat.db.ocr t USING _delete_keys u "
+        "ON t.doc_id = u.doc_id "
+        "WHEN MATCHED THEN DELETE"
+    )

@@ -534,3 +534,117 @@ class TestSearchRankedAnalyzer:
         spark.createDataFrame(docs).write.parquet(f"{sf_dir}/documents.parquet")
         got = {r.doc_id: r.score_e2 for r in Q.q_search_ranked(spark, sf_dir).collect()}
         assert got == {1: 100}  # wildcard only; analyzed tf contributes 0
+
+
+class TestDeleteRetract:
+    def test_delete_removes_keys_and_resume_reprocesses(self, spark, tmp_path):
+        """DocumentDeleteImpl analog through the store: deleted keys
+        vanish from results() and completed_keys(), surviving rows are
+        untouched, and resume_filter re-selects exactly the deleted
+        turns (retract-then-reprocess)."""
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.checkpoint import resume_filter
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(4, median_turns=6, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / "del"))
+        run_extraction(spark, sdf, store=store, num_partitions=4)
+        before = store.results(spark)
+        n_before = before.count()
+        victims = before.select("conv_id", "turn_idx").orderBy(
+            "conv_id", "turn_idx"
+        ).limit(2)
+        victim_rows = {(r.conv_id, r.turn_idx) for r in victims.collect()}
+        assert len(victim_rows) == 2
+
+        store.delete(victims, spark)
+
+        after = store.results(spark)
+        assert after.count() == n_before - 2
+        remaining = {(r.conv_id, r.turn_idx) for r in
+                     after.select("conv_id", "turn_idx").collect()}
+        assert not (victim_rows & remaining)
+        done = {(r.conv_id, r.turn_idx) for r in
+                store.completed_keys(spark).collect()}
+        assert not (victim_rows & done)
+        # retract-then-reprocess: resume selects exactly the deleted turns
+        todo = resume_filter(sdf, store, spark)
+        assert {(r.conv_id, r.turn_idx) for r in
+                todo.select("conv_id", "turn_idx").collect()} == victim_rows
+
+    def test_delete_is_idempotent_and_keeps_row_payloads(self, spark, tmp_path):
+        """Deleting already-deleted or unknown keys is a no-op, and the
+        surviving rows' extracted_text is byte-identical to before
+        (copy-on-write must not mutate survivors)."""
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(3, median_turns=5, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / "del2"))
+        run_extraction(spark, sdf, store=store, num_partitions=4)
+        before = {
+            (r.conv_id, r.turn_idx): r.extracted_text
+            for r in store.results(spark).collect()
+        }
+        victim = sorted(before)[0]
+        keys = spark.createDataFrame(
+            [victim, ("conv-ghost", 999)], "conv_id string, turn_idx int"
+        )
+        store.delete(keys, spark)
+        store.delete(keys, spark)  # idempotent second delete
+        after = {
+            (r.conv_id, r.turn_idx): r.extracted_text
+            for r in store.results(spark).collect()
+        }
+        expected = dict(before)
+        del expected[victim]
+        assert after == expected
+
+
+class TestAiEnrichUpsertPath:
+    def test_ai_fields_flow_through_keyed_store(self, spark, tmp_path):
+        """The V54 AI columns (ai_summary/document_type/ai_tags) written
+        through a doc_id-keyed store: upsert replaces the enriched rows
+        in place and delete retracts one (AiSummarizationService.java:
+        165-171 persistence, composed with the store lifecycle)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from unraveldocs_spark.queries import q_ai_enrich
+
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ai_summary", T.StringType(), True),
+            T.StructField("document_type", T.StringType(), True),
+            T.StructField("ai_tags", T.StringType(), True),
+            T.StructField("confidence_e2", T.LongType(), True),
+        ])
+        store = DirCheckpointStore(
+            str(tmp_path / "ai"), results_schema=schema, keys=["doc_id"]
+        )
+        enriched = q_ai_enrich(spark, "/root/testdata/sf0.001").limit(20)
+        store.append(enriched)
+        n = store.results(spark).count()
+        assert n == 20
+
+        # re-enrich two docs (summary changes) -> upsert replaces in place
+        redo = (
+            store.results(spark).orderBy("doc_id").limit(2)
+            .withColumn("ai_summary", F.lit("Summary: v2"))
+        )
+        store.upsert(redo, spark)
+        res = store.results(spark)
+        assert res.count() == n
+        assert res.filter(F.col("ai_summary") == "Summary: v2").count() == 2
+
+        # retract one enriched doc
+        victim = res.orderBy("doc_id").limit(1).select("doc_id")
+        vid = victim.first().doc_id
+        store.delete(victim, spark)
+        res2 = store.results(spark)
+        assert res2.count() == n - 1
+        assert res2.filter(F.col("doc_id") == vid).count() == 0

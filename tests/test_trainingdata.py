@@ -524,7 +524,10 @@ class TestFuzzySearchEdges:
         )
 
         res = q_fuzzy_search(spark, "/root/testdata/sf0.001")
-        toks = {t for r in res.collect() for t in r.matched_tokens}
+        # matched_tokens is a comma-joined scalar (driver-canon rule)
+        toks = {
+            t for r in res.collect() for t in r.matched_tokens.split(",") if t
+        }
         assert toks, "no fuzzy matches found"
         import duckdb
 
@@ -623,3 +626,61 @@ def test_pq_rerank_contains_exact_scores(spark):
         v = vecs[r.vec_id]
         exact = float((v / np.linalg.norm(v)) @ qn)
         assert abs(r.cos_e4 - round(exact * 10000)) <= 1, r
+
+
+class TestBandShapeRules:
+    """Band shape as a function of corpus size n — the measured
+    BENCH/DEDUP_SCALE.md and BENCH/BAND_BITS.md rules productized;
+    pinned at every measured point so the functions cannot drift from
+    the benchmarks that justify them."""
+
+    def test_minhash_shape_at_measured_points(self):
+        from unraveldocs_spark.trainingdata import _MH_K, minhash_band_shape
+
+        # DEDUP_SCALE.md legs: 1x=5000 docs (4x4 flat), 4x=20000 and
+        # 16x=80000 (2x8 holds candidates 240->242, flat)
+        assert minhash_band_shape(5000) == (4, 4)
+        assert minhash_band_shape(20000) == (2, 8)
+        assert minhash_band_shape(80000) == (2, 8)
+        # driver scales keep the oracle-mirrored 4x4
+        assert minhash_band_shape(500) == (4, 4)
+        for n in (1, 500, 5000, 20000, 80000, 10**9):
+            bands, rows = minhash_band_shape(n)
+            assert bands * rows <= _MH_K
+            assert bands >= 2  # recall needs >=2 bands within K=16
+
+    def test_embedding_bits_at_measured_points(self):
+        from unraveldocs_spark.trainingdata import embedding_band_bits
+
+        # driver scales: the deliberate 4-bit thresholded-dedup shape
+        assert embedding_band_bits(500) == 4
+        assert embedding_band_bits(2000) == 4
+        # BAND_BITS.md scaled column
+        assert embedding_band_bits(8000) == 10
+        assert embedding_band_bits(32000) == 12
+        assert embedding_band_bits(128000) == 14
+
+    def test_knn_bits_at_measured_points(self):
+        from unraveldocs_spark.trainingdata import knn_band_bits
+
+        # measured: 4-bit at n=2k made 25% of all pairs candidates
+        # (33s); 8-bit is the measured floor
+        assert knn_band_bits(500) == 8
+        assert knn_band_bits(2000) == 8
+        assert knn_band_bits(32000) == 12
+        assert knn_band_bits(128000) == 14
+
+    def test_bits_monotone_nondecreasing(self):
+        from unraveldocs_spark.trainingdata import (
+            embedding_band_bits,
+            knn_band_bits,
+            minhash_band_shape,
+        )
+
+        prev_e = prev_k = 0
+        prev_rows = 0
+        for n in (1, 100, 2000, 2001, 8000, 8001, 10**5, 10**6, 10**9):
+            e, k = embedding_band_bits(n), knn_band_bits(n)
+            rows = minhash_band_shape(n)[1]
+            assert e >= prev_e and k >= prev_k and rows >= prev_rows, n
+            prev_e, prev_k, prev_rows = e, k, rows

@@ -48,14 +48,24 @@ KEYS = ["conv_id", "turn_idx"]
 class DirCheckpointStore:
     """Parquet-directory snapshot store with atomic publish-by-rename."""
 
-    def __init__(self, root: str, results_schema=None):
+    def __init__(self, root: str, results_schema=None, keys=None,
+                 lineage_schema=None):
         self.root = root
         self.snap_dir = os.path.join(root, "snapshots")
         os.makedirs(self.snap_dir, exist_ok=True)
         # declared (not inferred) result schema; the extraction pipeline's
         # by default, overridable for stores of other row types (e.g. the
-        # streaming dedup ingest's digest table)
+        # streaming dedup ingest's digest table).  Reading published
+        # parquet with a mismatched declared schema yields silently
+        # all-null columns — every non-extraction store MUST pass its own
+        # schemas (the corpus-build job passes CORPUS_SHARDS_SCHEMA /
+        # CORPUS_LINEAGE_SCHEMA).
         self.results_schema = results_schema or EXTRACTIONS_SCHEMA
+        self.lineage_schema = lineage_schema or LINEAGE_SCHEMA
+        # merge/delete key columns; (conv_id, turn_idx) for the extraction
+        # store, overridable for stores of other grains (e.g. doc_id for
+        # the AI-enrichment OcrData analog)
+        self.keys = list(keys) if keys is not None else list(KEYS)
         # manifest cache keyed by snapshot name: manifests are immutable
         # once published (atomic rename), so each is parsed at most once
         # per store instance — has_run on every micro-batch is then
@@ -154,10 +164,30 @@ class DirCheckpointStore:
         staging+rename publish), and a crash mid-upsert leaves the prior
         state untouched."""
         current = self.results(spark)
-        merged = current.join(updates.select(*KEYS), KEYS, "left_anti").unionByName(
-            updates
-        )
+        merged = current.join(
+            updates.select(*self.keys), self.keys, "left_anti"
+        ).unionByName(updates)
         return self.append(merged, run_id=run_id, compacted=True)
+
+    # -- delete (retract) -------------------------------------------------
+    def delete(self, keys: DataFrame, spark: SparkSession,
+               run_id: str | None = None) -> str:
+        """Remove rows by key — the right-to-be-forgotten primitive and
+        the batch analog of the reference's collection/file delete
+        (DocumentDeleteImpl.java:61,117: remove the entry, reclaim its
+        storage, drop the search-index row) and of ``MERGE ... WHEN
+        MATCHED THEN DELETE`` on the Iceberg path.
+
+        Copy-on-write like :meth:`upsert`: the new snapshot is (current
+        results ANTI-JOIN delete keys), marked ``compacted``, published
+        atomically.  Deleted keys vanish from :meth:`results` and
+        :meth:`completed_keys` — so on resume they re-extract, which is
+        exactly the retract-then-reprocess semantics a training-corpus
+        store needs.  A crash mid-delete leaves the prior state
+        untouched."""
+        current = self.results(spark)
+        remaining = current.join(keys.select(*self.keys), self.keys, "left_anti")
+        return self.append(remaining, run_id=run_id, compacted=True)
 
     # -- read -------------------------------------------------------------
     def _live_snapshots(self) -> list[str]:
@@ -189,11 +219,11 @@ class DirCheckpointStore:
             if os.path.exists(os.path.join(self.snap_dir, s, "lineage"))
         ]
         if not paths:
-            return spark.createDataFrame([], LINEAGE_SCHEMA)
-        return spark.read.schema(LINEAGE_SCHEMA).parquet(*paths)
+            return spark.createDataFrame([], self.lineage_schema)
+        return spark.read.schema(self.lineage_schema).parquet(*paths)
 
     def completed_keys(self, spark: SparkSession) -> DataFrame:
-        return self.results(spark).select(*KEYS)
+        return self.results(spark).select(*self.keys)
 
 
 RUN_ID_SNAPSHOT_PROPERTY = "run-id"
@@ -209,6 +239,21 @@ def iceberg_merge_sql(results_table: str, updates_view: str = "_upsert_updates")
         "ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx "
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def iceberg_delete_sql(results_table: str, keys_view: str = "_delete_keys",
+                       keys=None) -> str:
+    """The keyed delete the Iceberg retract path executes (rendered pure
+    so the SQL is unit-pinned without an Iceberg jar) — the
+    ``MERGE ... WHEN MATCHED THEN DELETE`` analog of the reference's
+    collection/file delete (DocumentDeleteImpl.java:61,117)."""
+    keys = list(keys) if keys is not None else list(KEYS)
+    on = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    return (
+        f"MERGE INTO {results_table} t USING {keys_view} u "
+        f"ON {on} "
+        "WHEN MATCHED THEN DELETE"
     )
 
 
@@ -266,6 +311,14 @@ class IcebergCheckpointStore:
         updates.createOrReplaceTempView("_upsert_updates")
         spark.sql(iceberg_merge_sql(self.results_table))
         return run_id or "iceberg-merge"
+
+    def delete(self, keys: DataFrame, spark: SparkSession,
+               run_id: str | None = None) -> str:
+        """Remove rows by key via ``MERGE ... WHEN MATCHED THEN DELETE``
+        (same retract semantics as DirCheckpointStore.delete)."""
+        keys.createOrReplaceTempView("_delete_keys")
+        spark.sql(iceberg_delete_sql(self.results_table))
+        return run_id or "iceberg-delete"
 
     def append(self, results: DataFrame, lineage: DataFrame | None = None,
                run_id: str | None = None, compacted: bool = False) -> str:

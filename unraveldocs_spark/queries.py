@@ -463,11 +463,20 @@ def q_shipping_priority(spark, sf_dir):
         .agg(revenue.cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
         .limit(10)
+        # epoch, not raw TIMESTAMP: driver-canon stringifies Spark- vs
+        # DuckDB-collected timestamps differently (r3 hazard rule)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp(F.col("o_orderdate")).alias("order_es"),
+            "o_orderpriority",
+            "revenue",
+        )
     )
 
 
 SQL_SHIPPING_PRIORITY = f"""
-SELECT o_orderkey, o_orderdate, o_orderpriority,
+SELECT o_orderkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_es,
+       o_orderpriority,
        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -1462,5 +1471,262 @@ REGISTRY.update(
             "builder": q_regional_revenue,
             "sql": SQL_REGIONAL_REVENUE,
         },
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Delete/retract reclaim rollup — DocumentDeleteImpl.java:52-79,141:
+# on collection delete, storage-to-reclaim is the SUM of fileSize over the
+# collection's files with uploadStatus == SUCCESS (failed uploads never
+# consumed storage), credited back via updateStorageUsed(user, -reclaim);
+# the deletion notification carries the collection's file count.
+# ---------------------------------------------------------------------------
+
+_DELETE_COLLECTION_MOD = 5  # deterministic "deleted collections" subset
+
+
+def q_delete_reclaim(spark, sf_dir):
+    """Reclaimed-storage rollup for deleted collections: per collection
+    (source), total files, SUCCESS files, and bytes to reclaim — the
+    batch analog of DocumentDeleteImpl's reclaim accounting, with
+    upload_status derived exactly as q_upload_validation does.
+
+    Scale shape: the deleted-collection predicate filters BEFORE the
+    single groupBy(source) shuffle; at 100 TB the deleted-key set would
+    broadcast into a semi-join against a source-bucketed table instead of
+    the derived modulus."""
+    d = _t(spark, sf_dir, "documents")
+    coll_num = F.substring(F.col("source"), 4, 10).cast("int")
+    status = (
+        F.when(~F.col("lang").isin(*_LANG_ALLOWLIST), F.lit("FAILED_VALIDATION"))
+        .when(F.col("n_chars") > _SIZE_CAP, F.lit("FAILED_SIZE"))
+        .otherwise(F.lit("UPLOADED"))
+    )
+    ok = F.col("upload_status") == "UPLOADED"
+    return (
+        d.select("source", "n_chars", status.alias("upload_status"), coll_num.alias("_cn"))
+        .filter(F.col("_cn") % _DELETE_COLLECTION_MOD == 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.sum(ok.cast("int")).cast("int").alias("n_success"),
+            F.sum(F.when(ok, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("reclaimed_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DELETE_RECLAIM = f"""
+WITH per_file AS (
+  SELECT source, n_chars,
+         CASE WHEN lang NOT IN {repr(tuple(_LANG_ALLOWLIST))}
+              THEN 'FAILED_VALIDATION'
+              WHEN n_chars > {_SIZE_CAP} THEN 'FAILED_SIZE'
+              ELSE 'UPLOADED' END AS upload_status
+  FROM documents
+  WHERE CAST(SUBSTR(source, 4) AS INT) % {_DELETE_COLLECTION_MOD} = 0
+)
+SELECT source,
+       CAST(COUNT(*) AS INT) AS n_files,
+       CAST(SUM(CASE WHEN upload_status = 'UPLOADED' THEN 1 ELSE 0 END) AS INT) AS n_success,
+       CAST(SUM(CASE WHEN upload_status = 'UPLOADED' THEN n_chars ELSE 0 END) AS BIGINT) AS reclaimed_bytes
+FROM per_file GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Encrypted-entry admin stats — FileEntry.isEncrypted/encryptionIv
+# (FileEntry.java:46-51) and the filtered admin count
+# countEncryptedDocuments (DocumentCollectionRepository.java:36-37), plus
+# the sibling totals countTotalFiles/sumTotalStorageBytes (:24-28).
+# ---------------------------------------------------------------------------
+
+_ENCRYPTED_MOD = 11  # deterministic is_encrypted derivation: doc_id % 11 == 3
+
+
+def q_encrypted_stats(spark, sf_dir):
+    """Per-collection admin stats with the encrypted-entry filter:
+    total files, total bytes, encrypted count, and iv-present count
+    (must equal the encrypted count — every encrypted entry carries an
+    IV, FileEntry.java:50-51).
+
+    Scale shape: one groupBy(source) hash aggregate; the encrypted count
+    is a conditional agg inside it, not a second scan."""
+    d = _t(spark, sf_dir, "documents")
+    is_enc = (F.col("doc_id") % _ENCRYPTED_MOD) == 3
+    iv = F.when(is_enc, F.hex(F.col("doc_id")))  # else NULL
+    return (
+        d.select("source", "n_chars", is_enc.alias("is_encrypted"), iv.alias("encryption_iv"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("total_files"),
+            F.sum("n_chars").cast("bigint").alias("total_bytes"),
+            F.sum(F.col("is_encrypted").cast("int")).cast("int").alias("n_encrypted"),
+            F.count("encryption_iv").cast("int").alias("n_with_iv"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_ENCRYPTED_STATS = f"""
+WITH per_file AS (
+  SELECT source, n_chars,
+         doc_id % {_ENCRYPTED_MOD} = 3 AS is_encrypted,
+         CASE WHEN doc_id % {_ENCRYPTED_MOD} = 3 THEN hex(doc_id) END AS encryption_iv
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS INT) AS total_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN is_encrypted THEN 1 ELSE 0 END) AS INT) AS n_encrypted,
+       CAST(COUNT(encryption_iv) AS INT) AS n_with_iv
+FROM per_file GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# AI enrichment stage — AiSummarizationService.java:95-110,165-171
+# (status gate, isBlank gate, truncate, setAiSummary) +
+# AiClassificationService.java:96-103,152-186 (fence strip, parse with
+# per-field defaults, setDocumentType, setAiTags = String.join(",", tags))
+# + V54__add_ai_fields_to_ocr_data.sql (the three columns).  The "model
+# call" is a deterministic fixture transform (first-6-token summary),
+# per the north rule's no-external-services constraint.
+# ---------------------------------------------------------------------------
+
+_AI_TRUNCATE_CAP = 120  # maxInputLength analog scaled to synthetic docs
+_AI_SUMMARY_TOKENS = 6
+
+
+def q_ai_enrich(spark, sf_dir):
+    """End-to-end enrichment: COMPLETED-status + non-blank gates ->
+    truncate -> deterministic summary -> fence-strip + classification
+    parse with defaults -> (ai_summary, document_type, ai_tags) — the
+    three V54 columns, ready for the keyed upsert
+    (tests/test_checkpoint_store.py drives them through store.upsert).
+
+    Parse-failure rows get ('other', 'unclassified', 0.0) — the
+    CLASSIFY_DEFAULTS triple; valid JSON missing a field gets per-field
+    defaults ('other', '', 0.5).  Scale shape: pure narrow transforms,
+    zero shuffles before the final presentation sort."""
+    d = _t(spark, sf_dir, "documents")
+    status = (
+        F.when(F.col("doc_id") % 10 < 7, F.lit("COMPLETED"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("FAILED"))
+        .otherwise(F.lit("PROCESSING"))
+    )
+    gated = (
+        d.select("doc_id", "lang", "text", status.alias("status"))
+        .filter(F.col("status") == "COMPLETED")
+        .filter(~F.col("text").rlike(f"^[{_ASCII_WS}]*$"))
+    )
+    truncated = F.when(
+        F.length("text") > _AI_TRUNCATE_CAP,
+        F.substring("text", 1, _AI_TRUNCATE_CAP),
+    ).otherwise(F.col("text"))
+    summary = F.concat(
+        F.lit("Summary: "),
+        F.array_join(
+            F.slice(F.split(F.trim(truncated), r"\s+"), 1, _AI_SUMMARY_TOKENS), " "
+        ),
+    )
+    resp = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('```json\n{"document_type":"report","tags":[" a","b ",""],'
+                      '"confidence":0.8}\n```'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit('{"document_type":"'), F.col("lang"), F.lit('","tags":["x"]}')),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit('{"tags":[]}'))
+        .otherwise(F.lit("broken"))
+    )
+    stripped = F.when(
+        resp.startswith("```"),
+        F.regexp_replace(F.regexp_replace(resp, r"^```(json)?\s*", ""), r"\s*```$", ""),
+    ).otherwise(resp)
+    # PERMISSIVE from_json yields a struct of NULLs (not a null struct)
+    # for malformed input, so parse failure must be detected via the
+    # corrupt-record column, not isNull()
+    parsed = F.from_json(
+        stripped,
+        "document_type STRING, tags ARRAY<STRING>, confidence DOUBLE, _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    parse_failed = parsed["_corrupt"].isNotNull()
+    return gated.select(
+        "doc_id",
+        summary.alias("ai_summary"),
+        F.when(parse_failed, F.lit("other"))
+        .otherwise(F.coalesce(parsed["document_type"], F.lit("other")))
+        .alias("document_type"),
+        F.when(parse_failed, F.lit("unclassified"))
+        .otherwise(F.array_join(F.coalesce(parsed["tags"], F.array()), ","))
+        .alias("ai_tags"),
+        F.round(
+            F.when(parse_failed, F.lit(0.0))
+            .otherwise(F.coalesce(parsed["confidence"], F.lit(0.5)))
+            * 100
+        )
+        .cast("bigint")
+        .alias("confidence_e2"),
+    ).orderBy("doc_id")
+
+
+SQL_AI_ENRICH = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text
+  FROM documents
+  WHERE doc_id % 10 < 7
+    AND NOT regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$')
+), prepared AS (
+  SELECT doc_id,
+         'Summary: ' || array_to_string(
+            list_slice(regexp_split_to_array(
+              trim(CASE WHEN length(text) > {_AI_TRUNCATE_CAP}
+                        THEN substr(text, 1, {_AI_TRUNCATE_CAP}) ELSE text END),
+              '\\s+'), 1, {_AI_SUMMARY_TOKENS}), ' ') AS ai_summary,
+         CASE WHEN doc_id % 4 = 0
+              THEN '```json' || chr(10) ||
+                   '{{"document_type":"report","tags":[" a","b ",""],"confidence":0.8}}'
+                   || chr(10) || '```'
+              WHEN doc_id % 4 = 1
+              THEN '{{"document_type":"' || lang || '","tags":["x"]}}'
+              WHEN doc_id % 4 = 2 THEN '{{"tags":[]}}'
+              ELSE 'broken' END AS resp
+  FROM gated
+), stripped AS (
+  SELECT doc_id, ai_summary,
+         CASE WHEN resp LIKE '```%'
+              THEN regexp_replace(regexp_replace(resp, '^```(json)?\\s*', ''), '\\s*```$', '')
+              ELSE resp END AS resp
+  FROM prepared
+)
+SELECT doc_id, ai_summary,
+       CASE WHEN NOT json_valid(resp) THEN 'other'
+            ELSE COALESCE(json_extract_string(resp, '$.document_type'), 'other') END
+         AS document_type,
+       CASE WHEN NOT json_valid(resp) THEN 'unclassified'
+            ELSE COALESCE(array_to_string(CAST(json_extract(resp, '$.tags') AS VARCHAR[]), ','), '')
+            END AS ai_tags,
+       CAST(ROUND(CASE WHEN NOT json_valid(resp) THEN 0.0
+                       ELSE COALESCE(CAST(json_extract(resp, '$.confidence') AS DOUBLE), 0.5)
+                  END * 100) AS BIGINT) AS confidence_e2
+FROM stripped ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "delete_reclaim": {"builder": q_delete_reclaim, "sql": SQL_DELETE_RECLAIM},
+        "encrypted_stats": {"builder": q_encrypted_stats, "sql": SQL_ENCRYPTED_STATS},
+        "ai_enrich": {"builder": q_ai_enrich, "sql": SQL_AI_ENRICH},
     }
 )

@@ -92,3 +92,25 @@ ROLLUP_SCHEMA = StructType(
         StructField("collection_status", StringType(), False),
     ]
 )
+
+# Corpus-build export shards (jobs/run_corpus_build.py over
+# trainingdata.q_corpus_export_shards): one row per (lang, shard)
+CORPUS_SHARDS_SCHEMA = StructType(
+    [
+        StructField("lang", StringType(), False),
+        StructField("shard_id", IntegerType(), False),
+        StructField("n_docs", IntegerType(), False),
+        StructField("shard_tokens", LongType(), False),
+    ]
+)
+
+# Corpus-build lineage: one row per language (the corpus pipeline's
+# partition-of-record is the language shard group, not a task partition)
+CORPUS_LINEAGE_SCHEMA = StructType(
+    [
+        StructField("lang", StringType(), False),
+        StructField("n_shards", LongType(), False),
+        StructField("lang_tokens", LongType(), False),
+        StructField("lang_docs", LongType(), False),
+    ]
+)

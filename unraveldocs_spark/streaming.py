@@ -106,7 +106,12 @@ def stream_dedup_ingest(
                 return
         except NotImplementedError:
             pass
-        batch = batch_df.withColumn(
+        # NULL text would digest to NULL; the left-anti join on digest
+        # never matches NULL, so the same row would re-commit every
+        # micro-batch (unbounded duplicates in a table whose
+        # DEDUP_INGEST_SCHEMA declares digest non-nullable).  Drop
+        # NULL-text turns: they carry no content to dedup against.
+        batch = batch_df.filter(F.col("text").isNotNull()).withColumn(
             "digest", F.md5(F.col("text").cast("binary"))
         )
         w = Window.partitionBy("digest").orderBy("conv_id", "turn_idx")

@@ -124,10 +124,11 @@ def _jaccard_pairs(spark, sf_dir):
     confirmed by exact shingle Jaccard >= 2/10.  Shared by the ranked
     pair query below and the cluster-resolution query, which must not
     inherit an ORDER BY it immediately discards."""
+    docs = _t(spark, sf_dir, "documents")
     cands = _minhash_candidate_pairs(
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        docs.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0),
+        shape_n=docs.count(),  # metadata-cheap parquet count
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -157,6 +158,52 @@ _MH_P = 1_000_000_007
 _MH_K = 16
 _MH_BANDS = 4
 _MH_ROWS = _MH_K // _MH_BANDS
+
+
+def minhash_band_shape(n: int) -> tuple[int, int]:
+    """(n_bands, n_rows) as a function of corpus size n — the measured
+    BENCH/DEDUP_SCALE.md rule productized: rows-per-band must GROW with
+    log(n) (fixed 4x4 grew candidates 83x over 16x data because
+    baseline-similarity collisions scale n^2 * s^r; the log(n)-widened
+    2x8 held them flat 240->242).  Rows double per ~16x growth past the
+    measured flat-at-4x4 envelope (n<=8000), capped so at least two
+    bands remain within the K=16 hash family; production raises K
+    alongside n so band count (recall) is preserved as rows widen.
+
+    Pinned at the measured points: shape(5000)=(4,4) [1x leg],
+    shape(20000)=(2,8) [4x leg], shape(80000)=(2,8) [16x leg]."""
+    rows = _MH_ROWS
+    scale = max(1, -(-n // 8000))  # ceil(n / 8000)
+    while scale > 1 and rows * 2 <= _MH_K // 2:
+        rows *= 2
+        scale = max(1, -(-scale // 16))
+    return (_MH_K // rows, rows)
+
+
+def embedding_band_bits(n: int) -> int:
+    """Per-band bit width for the THRESHOLDED cosine dedup as a function
+    of corpus size — BENCH/BAND_BITS.md productized.  The dense 4-bit
+    shape is deliberate at driver scale (n<=2000: the confirm step
+    prunes, and ~260 candidates/vec is cheap); past that, fixed-width
+    buckets grow linearly with n (the measured melt), so bits follow
+    max(4, ceil(log2(n/8))) — flat per-vector candidate volume.
+
+    Pinned: bits(500)=4, bits(2000)=4 (measured driver shapes), then
+    the BAND_BITS.md scaled column: bits(8000)=10, bits(32000)=12,
+    bits(128000)=14."""
+    if n <= 2000:
+        return 4
+    return max(4, (max(1, -(-n // 8)) - 1).bit_length())
+
+
+def knn_band_bits(n: int) -> int:
+    """Per-band bit width for the kNN join — same BAND_BITS.md rule but
+    with the measured 8-bit floor (BENCH/BAND_BITS.md at n=2k: 4-bit
+    bands made 25% of ALL pairs candidates, 33s -> 2s at 8-bit), because
+    knn ranks EVERY candidate (no cheap confirm prune).
+
+    Pinned: bits(500)=8, bits(2000)=8, bits(32000)=12, bits(128000)=14."""
+    return max(8, (max(1, -(-n // 8)) - 1).bit_length())
 # deterministic hash-family coefficients (derived from the repo-wide mix64)
 _MH_A = [1 + mix64(1000 + j) % (_MH_P - 1) for j in range(_MH_K)]
 _MH_B = [mix64(2000 + j) % _MH_P for j in range(_MH_K)]
@@ -173,7 +220,9 @@ def _spark_shingle_hashes(sh_col):
     )
 
 
-def _minhash_candidate_pairs(d, n_bands: int = _MH_BANDS, n_rows: int = _MH_ROWS):
+def _minhash_candidate_pairs(d, n_bands: int | None = None,
+                             n_rows: int | None = None,
+                             shape_n: int | None = None):
     """shingle-set DataFrame (doc_id, sh) -> deduplicated candidate pairs
     (doc_a, doc_b, sh_a, sh_b) whose MinHash signatures collide in at
     least one LSH band.  The join key (band_idx, band_key) is
@@ -182,13 +231,21 @@ def _minhash_candidate_pairs(d, n_bands: int = _MH_BANDS, n_rows: int = _MH_ROWS
     q_dedup_ngram_jaccard.
 
     Band-shape sizing (measured, BENCH/DEDUP_SCALE.md): rows-per-band
-    must GROW with log(n) — over a 16x corpus the default 4x4 shape grew
+    must GROW with log(n) — over a 16x corpus the fixed 4x4 shape grew
     candidates 83x (baseline-similarity collisions scale n^2 x s^r)
     while a 2x8 shape held them absolutely flat at the true near-dup
-    pairs.  The driver-scale default stays 4x4 (oracle-mirrored); a
-    production deployment passes wider n_rows as n grows, raising K
-    alongside so band count (recall) is preserved.  Requires
+    pairs.  Callers pass the corpus size as ``shape_n`` and the shape is
+    chosen by :func:`minhash_band_shape` (4x4 at driver scales —
+    oracle-mirrored — widening per the measured rule as n grows);
+    explicit n_bands/n_rows override for experiments.  Requires
     n_bands * n_rows <= the _MH_K hash family size."""
+    if n_bands is None or n_rows is None:
+        auto_bands, auto_rows = (
+            minhash_band_shape(shape_n) if shape_n is not None
+            else (_MH_BANDS, _MH_ROWS)
+        )
+        n_bands = n_bands if n_bands is not None else auto_bands
+        n_rows = n_rows if n_rows is not None else auto_rows
     assert n_bands * n_rows <= _MH_K, (n_bands, n_rows, _MH_K)
     d = d.withColumn("hs", _spark_shingle_hashes(F.col("sh")))
 
@@ -257,10 +314,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     Jaccard — the standard shingle->minhash->band->bucket-join pipeline.
     At scale: explode to (band_idx, band_key) rows, shuffle on the band
     key, join within buckets only."""
+    docs = _t(spark, sf_dir, "documents")
     cands = _minhash_candidate_pairs(
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        docs.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0),
+        shape_n=docs.count(),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -356,7 +414,24 @@ def _paragraphs(d):
             F.slice(toks, i * _PARA_WORDS + F.lit(1), F.lit(_PARA_WORDS)), " "
         ),
     )
-    return d.select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+    exploded = d.select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+    # para_id = doc_id * _PARA_STRIDE + para_idx aliases into ANOTHER
+    # doc's id range if a document reaches _PARA_STRIDE chunks (>= 16,384
+    # words — inside the Gopher gate's 100k-word ceiling), silently
+    # corrupting the (doc, para_idx) decode.  Guard in the VALUE path
+    # (not a droppable side column, which column pruning would erase) so
+    # the documented "docs << stride paras" assumption fails loudly.
+    guarded_idx = F.when(
+        F.col("para_idx") < F.lit(_PARA_STRIDE), F.col("para_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"document exceeds _PARA_STRIDE={_PARA_STRIDE} paragraphs: "),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("int")
+    )
+    return exploded.select("doc_id", guarded_idx.alias("para_idx"), "para")
 
 
 def q_dedup_paragraph(spark, sf_dir):
@@ -384,10 +459,15 @@ def q_dedup_paragraph(spark, sf_dir):
         )
         .select("para_id", "n_copies", "para")
     )
+    # shape_n: the banded universe is PARAGRAPHS (~10-20x docs), but the
+    # measured log-rule absorbs a constant grain factor as one shifted
+    # 16x step; sizing off the cheap document count avoids executing the
+    # exact-dedup stage twice just to count its output
     cands = _minhash_candidate_pairs(
         keepers.select(
             F.col("para_id").alias("doc_id"), _spark_shingles(F.col("para")).alias("sh")
-        ).filter(F.size("sh") > 0)
+        ).filter(F.size("sh") > 0),
+        shape_n=_t(spark, sf_dir, "documents").count(),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -483,6 +563,9 @@ _COS_THRESHOLD = 0.35
 # compensated by more bands).  4x4 is sized for the driver's 500-2000
 # vectors; a 10^9-vector corpus would run e.g. 8 bands x 24 bits.
 _EC_BANDS = 4
+# ORACLE-side pin: the DuckDB mirror is static SQL, so it bakes the
+# driver-scale shape; the Spark side computes embedding_band_bits(n),
+# which equals this at every driver/test scale (n <= 2000)
 _EC_BAND_BITS = 4
 
 
@@ -495,10 +578,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     product over pre-normalized vectors.  Recall below the threshold
     follows the random-hyperplane collision curve (P[bit match] =
     1 - angle/pi) — tunable via bands/bits like every production
-    embedding dedup."""
+    embedding dedup.  Band bits scale with corpus size via
+    :func:`embedding_band_bits` (BENCH/BAND_BITS.md rule; 4-bit at
+    driver scales, oracle-mirrored)."""
     from .similarity import EMB_DIM, signature_stage
 
     e = _t(spark, sf_dir, "embeddings")
+    band_bits = embedding_band_bits(e.count())
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = (
@@ -508,8 +594,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
             F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit"),
         )
     )
-    sigs = signature_stage(e, dim=EMB_DIM).select("vec_id", "signature")
-    mask = (1 << _EC_BAND_BITS) - 1
+    sigs = signature_stage(e, dim=EMB_DIM, bits=_EC_BANDS * band_bits).select(
+        "vec_id", "signature"
+    )
+    mask = (1 << band_bits) - 1
     # candidate generation stays NARROW (ids + band key only): the 64-dim
     # vectors never ride through the explode or the pair dedup shuffle —
     # they join back per side after the candidate set is deduplicated
@@ -520,7 +608,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("signature"), b * _EC_BAND_BITS)
+                        F.shiftright(F.col("signature"), b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
@@ -810,8 +898,18 @@ def connected_components(pairs, max_iters: int = _CC_MAX_ITERS):
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # min-label propagation needs ~component-diameter rounds: a chain
+    # deeper than max_iters would exit here with WRONG labels, silently
+    # diverging from the exact recursive-CTE oracle — fail loudly instead
+    # (the availableNow+timeout guard precedent). Dense near-dup
+    # components converge in a handful of rounds; hitting this means the
+    # graph shape assumption broke, so the caller should switch to
+    # connected_components_star (log(n)-round large-star/small-star).
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds; "
+        "use connected_components_star for deep/skewed components"
+    )
 
 
 SQL_DEDUP_CLUSTER = f"""
@@ -998,6 +1096,8 @@ _KNN_K = 3
 # 4-bit buckets made a quarter of all pairs candidates (measured 33s at
 # sf0.1); 8-bit bands cut that ~18x.
 _KNN_BANDS = 4
+# ORACLE-side pin (see _EC_BAND_BITS): knn_band_bits(n) == 8 at every
+# driver/test scale (n <= 2000)
 _KNN_BAND_BITS = 8
 
 
@@ -1025,15 +1125,16 @@ def q_knn_join(spark, sf_dir):
     from .similarity import EMB_DIM, signature_stage
 
     e = _t(spark, sf_dir, "embeddings")
+    band_bits = knn_band_bits(e.count())  # measured rule, 8 at driver scales
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = e.select("vec_id", dv.alias("v"), norm.alias("nrm")).select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit")
     )
     sigs = signature_stage(
-        e, dim=EMB_DIM, bits=_KNN_BANDS * _KNN_BAND_BITS
+        e, dim=EMB_DIM, bits=_KNN_BANDS * band_bits
     ).select("vec_id", "signature")
-    mask = (1 << _KNN_BAND_BITS) - 1
+    mask = (1 << band_bits) - 1
     bands = sigs.select(
         "vec_id",
         F.explode(
@@ -1041,7 +1142,7 @@ def q_knn_join(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("signature"), b * _KNN_BAND_BITS)
+                        F.shiftright(F.col("signature"), b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
@@ -1819,9 +1920,12 @@ def q_corpus_build_full(spark, sf_dir):
         .select("doc_id")
     )
     kept = gated.join(exact_keepers, "doc_id", "left_semi")
+    # shape_n from the cheap base-table count (upper bound on the gate
+    # survivors the bands actually see)
     cands = _minhash_candidate_pairs(
         kept.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        .filter(F.size("sh") > 0),
+        shape_n=d.count(),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -2580,7 +2684,11 @@ def q_moving_window_stats(spark, sf_dir):
 
     FP parity: values go through ROUND(value*100) AS BIGINT first, so
     every windowed aggregate is integer arithmetic — frame-order
-    summation cannot diverge between engines.
+    summation cannot diverge between engines.  The timestamp is emitted
+    as unix epoch seconds (`es`), not a raw TIMESTAMP: the round driver
+    stringifies Spark- vs DuckDB-collected timestamps differently
+    (r3 hash mismatch), and every sibling events query already converts
+    at the source (e.g. asof_last_error).
 
     Scale shape: ONE user_id hash Exchange feeds all three frame
     aggregates (same WindowSpec), and user_id is the natural uniform key;
@@ -2599,12 +2707,12 @@ def q_moving_window_stats(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            "ts",
+            F.unix_timestamp(F.col("ts")).alias("es"),
             F.sum("value_c").over(w).alias("moving7_sum_c"),
             F.count(F.lit(1)).over(w).cast("int").alias("moving7_n"),
             F.max("value_c").over(w).alias("moving7_max_c"),
         )
-        .orderBy("user_id", "ts", "event_id")
+        .orderBy("user_id", "es", "event_id")
     )
 
 
@@ -2613,14 +2721,14 @@ WITH e AS (
   SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS value_c
   FROM events
 )
-SELECT event_id, user_id, ts,
+SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
        SUM(value_c) OVER w AS moving7_sum_c,
        CAST(COUNT(*) OVER w AS INT) AS moving7_n,
        MAX(value_c) OVER w AS moving7_max_c
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-ORDER BY user_id, ts, event_id
+ORDER BY user_id, es, event_id
 """
 
 
@@ -2653,7 +2761,12 @@ def q_fuzzy_search(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_matches"),
-            F.array_sort(F.collect_set("token")).alias("matched_tokens"),
+            # comma-joined scalar, NOT array<string>: the round driver's
+            # canonicalizer factorizes columns with pandas and throws
+            # "unhashable type: 'list'" on array outputs (r3 crash)
+            F.array_join(F.array_sort(F.collect_set("token")), ",").alias(
+                "matched_tokens"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -2668,7 +2781,7 @@ WITH t AS (
   WHERE levenshtein(token, '{_FUZZY_TERM}') <= {_FUZZY_MAX_DIST}
 )
 SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matches,
-       list_sort(list(DISTINCT token)) AS matched_tokens
+       array_to_string(list_sort(list(DISTINCT token)), ',') AS matched_tokens
 FROM t JOIN vocab USING (token)
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -3203,7 +3316,18 @@ def q_semantic_dedup(spark, sf_dir):
     scaling lever as band bits).  Group resolution reuses the bounded
     min-label propagation over PAIRS only.  Deterministic codebook (16
     lowest vec_ids seed, same rule as IVF) keeps the DuckDB oracle exact;
-    kmeans_refine plugs in where exactness is not required."""
+    kmeans_refine plugs in where exactness is not required.
+
+    FP-parity fragility (same caveat as dedup_embedding_cosine): this is
+    the one query family where a FLOAT comparison decides output rows —
+    the numpy-argmax cluster assignment and the >= _SEMDEDUP_COS pair
+    filter numerically differ from DuckDB's list_cosine_similarity in
+    association order, so a last-ulp difference exactly AT an assignment
+    tie or the threshold would flip cluster membership downstream.  The
+    driver corpus has no such boundary case (verified green at three
+    scales); if one ever appears, quantize the compared cosine to e6
+    integers on BOTH engines before the >= and the argmax tie-break,
+    like the integer-e6 PQ lookup tables already do."""
     import numpy as np
 
     from .similarity import _assign_stage
