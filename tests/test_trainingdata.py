@@ -684,3 +684,63 @@ class TestBandShapeRules:
             rows = minhash_band_shape(n)[1]
             assert e >= prev_e and k >= prev_k and rows >= prev_rows, n
             prev_e, prev_k, prev_rows = e, k, rows
+
+
+class TestStratifiedSplit:
+    def test_cluster_members_share_split_and_leakage_zero(self, spark):
+        """The whole point of cluster-keyed splitting: every member of a
+        near-dup cluster lands in the SAME split (so cluster_cross == 0
+        in the audit), while the naive per-doc hash split demonstrably
+        leaks pairs across the boundary on the same corpus."""
+        from unraveldocs_spark.trainingdata import (
+            q_split_leakage_check,
+            q_stratified_split,
+        )
+
+        rows = q_stratified_split(spark, SF).collect()
+        assert len(rows) == 500  # every document assigned exactly once
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        assert any(len([r for r in rows if r.cluster_id == c]) > 1
+                   for c in by_cluster), "corpus must contain a real cluster"
+        splits = {r.split for r in rows}
+        assert splits == {"train", "val", "test"}
+
+        audit = q_split_leakage_check(spark, SF).first()
+        assert audit.n_pairs > 0, "need near-dup pairs for the audit to bite"
+        assert audit.cluster_cross == 0
+        assert audit.naive_cross > 0, (
+            "naive split must leak on this corpus, else the audit proves nothing"
+        )
+
+    def test_split_is_deterministic(self, spark):
+        from unraveldocs_spark.trainingdata import q_stratified_split
+
+        a = {(r.doc_id, r.split) for r in q_stratified_split(spark, SF).collect()}
+        b = {(r.doc_id, r.split) for r in q_stratified_split(spark, SF).collect()}
+        assert a == b
+
+
+class TestVocabDrift:
+    def test_topk_ordered_and_integer_exact(self, spark):
+        from unraveldocs_spark.trainingdata import _DRIFT_TOPK, q_vocab_drift
+
+        rows = q_vocab_drift(spark, SF).collect()
+        assert len(rows) == _DRIFT_TOPK
+        drifts = [r.drift for r in rows]
+        assert drifts == sorted(drifts, reverse=True)
+        # integer-exact identity: drift == |c_old*N_new - c_new*N_old|
+        # with the totals recomputed independently
+        import duckdb
+
+        n_old, n_new = duckdb.sql(f"""
+            SELECT SUM(CASE WHEN is_new THEN 0 ELSE 1 END),
+                   SUM(CASE WHEN is_new THEN 1 ELSE 0 END)
+            FROM (SELECT doc_id % 2 = 1 AS is_new,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                  FROM '{SF}/documents.parquet')
+        """).fetchone()
+        for r in rows:
+            assert r.drift == abs(r.c_old * n_new - r.c_new * n_old)

@@ -3579,3 +3579,264 @@ TRAINING_REGISTRY: dict[str, dict] = {
     "doc_fingerprint": {"builder": q_doc_fingerprint, "sql": SQL_DOC_FINGERPRINT},
     "multimodal_meta": {"builder": q_multimodal_meta, "sql": SQL_MULTIMODAL_META},
 }
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test splitting with near-dup leakage guards — the corpus-prep
+# stage after dedup: a naive per-document split leaks near-duplicate pairs
+# across the train/eval boundary (the contamination mode benchmark-decontam
+# cannot catch, because the "benchmark" is your own eval split).  The
+# production rule: split by DUPLICATE CLUSTER, never by document.
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 10  # md5-derived key in [0,10): 0-7 train, 8 val, 9 test
+_SPLIT_TRAIN_LT = 8
+_SPLIT_VAL = 8
+
+
+def _spark_split_key(col):
+    """Deterministic engine-neutral split key in [0, _SPLIT_BUCKETS) —
+    the md5/conv idiom q_corpus_sample uses (identical across runs,
+    engines, and resumes; never rand())."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(col.cast("string").cast("binary")), 1, 14), 16, 10
+        ).cast("bigint"),
+        F.lit(_SPLIT_BUCKETS),
+    )
+
+
+def _sql_split_key(expr: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 14))::BIGINT"
+        f" % {_SPLIT_BUCKETS}"
+    )
+
+
+_SPLIT_CASE_SPARK = lambda key: (  # noqa: E731
+    F.when(key < _SPLIT_TRAIN_LT, F.lit("train"))
+    .when(key == _SPLIT_VAL, F.lit("val"))
+    .otherwise(F.lit("test"))
+)
+
+
+def _sql_split_case(key_expr: str) -> str:
+    return (
+        f"CASE WHEN ({key_expr}) < {_SPLIT_TRAIN_LT} THEN 'train' "
+        f"WHEN ({key_expr}) = {_SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+
+
+def q_stratified_split(spark, sf_dir):
+    """Cluster-consistent train/val/test assignment: every document is
+    keyed by its near-dup CLUSTER id (connected components over the
+    thresholded Jaccard pairs; singletons key by their own doc_id), and
+    the split is a deterministic hash of that cluster id — so near-dup
+    copies can never straddle the train/eval boundary.
+
+    Scale shape: CC runs over PAIRS only (never the corpus); the
+    assignment is one left join of labels onto the corpus plus a narrow
+    md5 projection — no shuffle beyond the label join, which at 10^12
+    docs co-locates when both sides are bucketed by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    key = _spark_split_key(cluster)
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            _SPLIT_CASE_SPARK(key).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_STRATIFIED_SPLIT = f"""
+WITH RECURSIVE {{ctes}}, pairs AS (
+  SELECT doc_a, doc_b FROM cands
+  {{jac_where}}
+), und AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), reach(a, b) AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.a, u.t FROM reach r JOIN und u ON r.b = u.s
+), lbl AS (
+  SELECT a AS doc_id, MIN(LEAST(a, b)) AS cluster_id FROM reach GROUP BY a
+), assigned AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id,
+       {_sql_split_case(_sql_split_key("cluster_id"))} AS split
+FROM assigned ORDER BY doc_id
+"""
+
+
+def q_split_leakage_check(spark, sf_dir):
+    """The leakage audit that justifies cluster-keyed splitting: count
+    near-dup pairs whose two sides land in DIFFERENT splits under (a) a
+    naive per-document hash split and (b) the cluster-keyed split.  The
+    cluster scheme's cross count is structurally zero (both sides of any
+    pair share a cluster, hence a key); the naive count is the leaked
+    eval contamination a per-doc split would ship.
+
+    Scale shape: two narrow joins of the pair list against the
+    assignment (pairs ≪ corpus), one global agg — the audit costs less
+    than the dedup that produced the pairs."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    d = _t(spark, sf_dir, "documents")
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    assign = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            _spark_split_key(F.col("doc_id")).alias("naive_key"),
+            _spark_split_key(cluster).alias("cluster_key"),
+        )
+    )
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("naive_key").alias("na"),
+        F.col("cluster_key").alias("ca"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("naive_key").alias("nb"),
+        F.col("cluster_key").alias("cb"),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("na") != F.col("nb")).cast("bigint")).alias("naive_cross"),
+            F.sum((F.col("ca") != F.col("cb")).cast("bigint")).alias("cluster_cross"),
+        )
+    )
+
+
+SQL_SPLIT_LEAKAGE_CHECK = f"""
+WITH RECURSIVE {{ctes}}, pairs AS (
+  SELECT doc_a, doc_b FROM cands
+  {{jac_where}}
+), und AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), reach(a, b) AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.a, u.t FROM reach r JOIN und u ON r.b = u.s
+), lbl AS (
+  SELECT a AS doc_id, MIN(LEAST(a, b)) AS cluster_id FROM reach GROUP BY a
+), assign AS (
+  SELECT d.doc_id,
+         {_sql_split_key("d.doc_id")} AS naive_key,
+         {_sql_split_key("COALESCE(l.cluster_id, d.doc_id)")} AS cluster_key
+  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN a.naive_key <> b.naive_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS naive_cross,
+       CAST(SUM(CASE WHEN a.cluster_key <> b.cluster_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS cluster_cross
+FROM pairs JOIN assign a ON pairs.doc_a = a.doc_id
+           JOIN assign b ON pairs.doc_b = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift between corpus cohorts — the monitoring stat a rolling
+# ingest pipeline runs between "corpus as of last snapshot" and "new data":
+# per-token occurrence counts in each cohort, ranked by the integer-exact
+# cross-product difference |c_old * N_new - c_new * N_old| (zero iff the
+# token's rate is identical in both cohorts; no floating-point division).
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 20
+
+
+def q_vocab_drift(spark, sf_dir):
+    """Top-K drifted tokens between the even-doc_id cohort ("old") and
+    the odd cohort ("new").  drift = |c_old*N_new - c_new*N_old| compares
+    the token's RATE across cohorts in pure integer arithmetic — the
+    engine-parity-safe form of |p_old - p_new| (multiply through by
+    N_old*N_new).  At production counts (c ~ 1e10, N ~ 1e12) the product
+    approaches BIGINT range: rescale to rates_e6 first (same rule as the
+    e6 PQ tables); at driver scales the exact form is used.
+
+    Scale shape: one explode + one groupBy(token) with map-side partial
+    aggregation; the two totals broadcast as a 1-row dim; TakeOrdered
+    caps the result driver-side — no full sort."""
+    d = _t(spark, sf_dir, "documents")
+    cohort_new = F.col("doc_id") % 2 == 1
+    toks = d.select(
+        cohort_new.alias("is_new"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    per_tok = toks.groupBy("token").agg(
+        F.sum((~F.col("is_new")).cast("bigint")).alias("c_old"),
+        F.sum(F.col("is_new").cast("bigint")).alias("c_new"),
+    )
+    totals = per_tok.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
+    drift = F.abs(
+        F.col("c_old") * F.col("n_new") - F.col("c_new") * F.col("n_old")
+    )
+    return (
+        per_tok.join(F.broadcast(totals))
+        .select("token", "c_old", "c_new", drift.alias("drift"))
+        .orderBy(F.col("drift").desc(), "token")
+        .limit(_DRIFT_TOPK)
+    )
+
+
+SQL_VOCAB_DRIFT = f"""
+WITH t AS (
+  SELECT doc_id % 2 = 1 AS is_new,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), per_tok AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+  FROM t GROUP BY token
+), totals AS (
+  SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new FROM per_tok
+)
+SELECT token, c_old, c_new,
+       ABS(c_old * n_new - c_new * n_old) AS drift
+FROM per_tok CROSS JOIN totals
+ORDER BY drift DESC, token LIMIT {_DRIFT_TOPK}
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "stratified_split": {
+            "builder": q_stratified_split,
+            "sql_fn": lambda: SQL_STRATIFIED_SPLIT.format(
+                ctes=_duck_minhash_cands_ctes("documents"),
+                jac_where=_DUCK_JAC_WHERE,
+            ),
+        },
+        "split_leakage_check": {
+            "builder": q_split_leakage_check,
+            "sql_fn": lambda: SQL_SPLIT_LEAKAGE_CHECK.format(
+                ctes=_duck_minhash_cands_ctes("documents"),
+                jac_where=_DUCK_JAC_WHERE,
+            ),
+        },
+        "vocab_drift": {"builder": q_vocab_drift, "sql": SQL_VOCAB_DRIFT},
+    }
+)
