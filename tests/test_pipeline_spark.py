@@ -648,3 +648,70 @@ class TestAiEnrichUpsertPath:
         res2 = store.results(spark)
         assert res2.count() == n - 1
         assert res2.filter(F.col("doc_id") == vid).count() == 0
+
+
+class TestStoreMaintenance:
+    def _seed_store(self, spark, tmp_path, name):
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(3, median_turns=5, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / name))
+        run_extraction(spark, sdf, store=store, num_partitions=4)
+        return store
+
+    def test_snapshot_diff_reports_delete_and_upsert(self, spark, tmp_path):
+        """snapshot_diff(a, b) on cumulative state: a delete compaction
+        shows exactly the removed keys; an upsert shows neither added
+        nor removed (replace-in-place)."""
+        store = self._seed_store(spark, tmp_path, "diff")
+        s1 = store.snapshots()[-1]
+        before = store.results(spark)
+        victims = before.select("conv_id", "turn_idx").orderBy(
+            "conv_id", "turn_idx").limit(3)
+        victim_keys = {(r.conv_id, r.turn_idx) for r in victims.collect()}
+        store.delete(victims, spark)
+        s2 = store.snapshots()[-1]
+
+        diff = store.snapshot_diff(spark, s1, s2).collect()
+        assert {(r.conv_id, r.turn_idx) for r in diff} == victim_keys
+        assert all(r.change == "removed" for r in diff)
+        # upsert leaves the key set unchanged
+        redo = store.results(spark).limit(2)
+        store.upsert(redo, spark)
+        s3 = store.snapshots()[-1]
+        assert store.snapshot_diff(spark, s2, s3).count() == 0
+
+        with pytest.raises(ValueError):
+            store.snapshot_diff(spark, s1, "snap-999999")
+
+    def test_expire_snapshots_keeps_live_state_and_lineage(self, spark, tmp_path):
+        """After a compaction, expiry removes the superseded snapshots,
+        results()/resume are byte-identical, and expired lineage moves to
+        the audit directory instead of being destroyed."""
+        import os
+
+        store = self._seed_store(spark, tmp_path, "gc")
+        # second append so there are >=2 snapshots before compaction
+        extra = store.results(spark).limit(0)
+        store.append(extra, run_id="noop-append")
+        n_snaps_before = len(store.snapshots())
+        assert n_snaps_before >= 2
+        state_before = {
+            (r.conv_id, r.turn_idx) for r in store.completed_keys(spark).collect()
+        }
+        store.upsert(store.results(spark).limit(1), spark)  # compaction
+
+        expired = store.expire_snapshots()
+        assert len(expired) == n_snaps_before
+        assert len(store.snapshots()) == 1  # just the compacted one
+        state_after = {
+            (r.conv_id, r.turn_idx) for r in store.completed_keys(spark).collect()
+        }
+        assert state_after == state_before
+        # lineage of the expired extraction run is preserved for audit
+        keep_dir = os.path.join(store.root, "expired-lineage")
+        assert os.path.isdir(keep_dir) and os.listdir(keep_dir)
+        # idempotent: nothing left to expire
+        assert store.expire_snapshots() == []

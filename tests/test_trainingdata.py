@@ -744,3 +744,58 @@ class TestVocabDrift:
         """).fetchone()
         for r in rows:
             assert r.drift == abs(r.c_old * n_new - r.c_new * n_old)
+
+
+class TestPCA:
+    def test_fit_matches_numpy_and_projection_is_deterministic(self, spark):
+        from unraveldocs_spark.similarity import EMB_DIM, pca_fit, pca_project_stage
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        mean, comps = pca_fit(emb, dim=EMB_DIM, k=8)
+        assert comps.shape == (8, EMB_DIM)
+
+        # single-node reference on the same rows
+        rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+        mat = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        ref_mean = mat.mean(axis=0)
+        cov = (mat.T @ mat) / len(mat) - np.outer(ref_mean, ref_mean)
+        vals, vecs = np.linalg.eigh(cov)
+        ref = vecs[:, ::-1][:, :8].T
+        for i in range(8):
+            j = int(np.argmax(np.abs(ref[i])))
+            if ref[i, j] < 0:
+                ref[i] = -ref[i]
+        assert np.allclose(mean, ref_mean, atol=1e-9)
+        assert np.allclose(comps, ref, atol=1e-6)
+
+        proj = {
+            r.vec_id: np.asarray(r.proj)
+            for r in pca_project_stage(emb, mean, comps).collect()
+        }
+        assert len(proj) == len(rows)
+        expect = (mat - ref_mean) @ ref.T
+        for i, r in enumerate(rows):
+            assert np.allclose(proj[r.vec_id], expect[i], atol=1e-6)
+
+    def test_projection_captures_maximal_variance(self, spark):
+        """The PCA guarantee: the top-k component subspace captures at
+        least as much variance as ANY k coordinate axes (on the
+        near-isotropic synthetic embeddings the margin is small, but the
+        inequality must hold — and the captured share must beat the k/dim
+        chance level)."""
+        from unraveldocs_spark.similarity import EMB_DIM, pca_fit, pca_project_stage
+
+        k = 16
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        mean, comps = pca_fit(emb, dim=EMB_DIM, k=k)
+        proj = np.asarray(
+            [r.proj for r in pca_project_stage(emb, mean, comps).collect()]
+        )
+        rows = emb.collect()
+        mat = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        total_var = ((mat - mat.mean(axis=0)) ** 2).sum(axis=0).sum() / len(mat)
+        captured = (proj ** 2).sum(axis=0).sum() / len(mat)
+        per_axis_var = ((mat - mat.mean(axis=0)) ** 2).sum(axis=0) / len(mat)
+        best_axes = np.sort(per_axis_var)[::-1][:k].sum()
+        assert captured >= best_axes - 1e-9  # optimal >= best axis subset
+        assert captured / total_var > k / EMB_DIM  # beats chance share

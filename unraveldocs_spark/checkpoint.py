@@ -225,6 +225,72 @@ class DirCheckpointStore:
     def completed_keys(self, spark: SparkSession) -> DataFrame:
         return self.results(spark).select(*self.keys)
 
+    # -- maintenance ------------------------------------------------------
+    def expire_snapshots(self) -> list[str]:
+        """Remove snapshots fully superseded by the latest compacted one
+        (which holds complete current state) — the DirCheckpointStore
+        analog of Iceberg's ``expire_snapshots`` maintenance procedure.
+        At 10^12-turn stream lifetimes the snapshot list grows one entry
+        per micro-batch; without expiry every ``results()`` read lists
+        (and every resume scans) an unbounded directory.
+
+        Keeps: the latest compacted snapshot and everything after it
+        (the live set), so readers are unaffected.  Lineage directories
+        of expired snapshots are preserved under ``expired-lineage/``
+        first — lineage is the audit record and must outlive the data
+        compaction.  Returns the expired snapshot names."""
+        import shutil
+
+        live = set(self._live_snapshots())
+        expired = [s for s in self.snapshots() if s not in live]
+        keep_dir = os.path.join(self.root, "expired-lineage")
+        for s in expired:
+            src = os.path.join(self.snap_dir, s, "lineage")
+            if os.path.exists(src):
+                os.makedirs(keep_dir, exist_ok=True)
+                os.rename(src, os.path.join(keep_dir, s))
+            shutil.rmtree(os.path.join(self.snap_dir, s))
+            self._manifest_cache.pop(s, None)
+        return expired
+
+    def snapshot_diff(self, spark: SparkSession, snap_a: str,
+                      snap_b: str) -> DataFrame:
+        """Key-level audit of what changed between two snapshots of this
+        store: rows keyed ``added`` (in b, not a) or ``removed`` (in a,
+        not b) — the inspection surface for upsert/delete compactions
+        (which keys did that retract actually remove?).  Mirrors the
+        Iceberg changelog read (``table_changes``) the production path
+        gets for free.  Both snapshots must still exist (run before
+        expire_snapshots)."""
+        from pyspark.sql import functions as F
+
+        def keys_at(s):
+            # cumulative state AS OF s: latest compacted snapshot <= s
+            # (full state) plus every append after it up to s
+            upto = [x for x in self.snapshots()
+                    if self._snap_num(x) <= self._snap_num(s)]
+            if not upto or upto[-1] != s:
+                raise ValueError(f"unknown snapshot {s!r}")
+            compacted = [x for x in upto if self._manifest(x).get("compacted")]
+            start = self._snap_num(compacted[-1]) if compacted else 0
+            paths = [
+                os.path.join(self.snap_dir, x, "results")
+                for x in upto if self._snap_num(x) >= start
+            ]
+            return (
+                spark.read.schema(self.results_schema).parquet(*paths)
+                .select(*self.keys)
+            )
+
+        a, b = keys_at(snap_a), keys_at(snap_b)
+        added = b.join(a, self.keys, "left_anti").withColumn(
+            "change", F.lit("added")
+        )
+        removed = a.join(b, self.keys, "left_anti").withColumn(
+            "change", F.lit("removed")
+        )
+        return added.unionByName(removed)
+
 
 RUN_ID_SNAPSHOT_PROPERTY = "run-id"
 

@@ -356,3 +356,91 @@ def pq_topk(
         "vec_id",
         F.round(F.col("cosine") * 10000).cast("bigint").alias("cos_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection — the dimensionality-reduction stage an embedding
+# pipeline runs before ANN indexing / clustering at scale (smaller
+# vectors => smaller signatures, codebooks, and shuffles downstream).
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(embeddings: DataFrame, dim: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fit PCA distributively: each Arrow batch contributes its partial
+    (sum, X^T X, count); the driver reduces to the dim x dim covariance
+    and eigendecomposes THAT — so the driver sees O(dim^2) numbers, never
+    rows, regardless of corpus size (the same k x dim driver contract as
+    kmeans_refine).  Returns (mean[dim], components[k, dim]).
+
+    Determinism: eigh of a fixed covariance is deterministic; the
+    remaining sign ambiguity per component is fixed by making each
+    component's largest-|.|-coordinate positive."""
+    from pyspark.sql import types as T
+
+    part_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("xtx", T.ArrayType(T.DoubleType())),
+    ])
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim)
+        xtx = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n += len(mat)
+            s += mat.sum(axis=0)
+            xtx += mat.T @ mat
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "xtx": [xtx.ravel().tolist()]}
+        )
+
+    rows = embeddings.select("embedding").mapInPandas(partials, part_schema).collect()
+    n = sum(r.n for r in rows)
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    xtx = np.sum([np.asarray(r.xtx).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :k].T  # top-k rows
+    # deterministic sign: largest-|coordinate| positive per component
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project_stage(embeddings: DataFrame, mean: np.ndarray,
+                      components: np.ndarray) -> DataFrame:
+    """Project every vector onto the fitted components (Arrow-batched;
+    mean and the k x dim component matrix ride the closure — broadcast
+    once per executor, never per row)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("proj", T.ArrayType(T.DoubleType())),
+    ])
+    mean = np.asarray(mean, dtype=np.float64)
+    comps = np.asarray(components, dtype=np.float64)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "proj": []})
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            proj = (mat - mean) @ comps.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(map(list, proj))}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(project, out_schema)

@@ -3840,3 +3840,78 @@ TRAINING_REGISTRY.update(
         "vocab_drift": {"builder": q_vocab_drift, "sql": SQL_VOCAB_DRIFT},
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Shard integrity manifest — the verification artifact published next to
+# exported shards: per-shard doc/token counts plus an order-independent
+# content digest (XOR-fold of per-doc 56-bit md5 keys).  A consumer (or a
+# re-run) recomputes the digest over what it actually read and compares —
+# the cheap end-to-end integrity check for a 10^12-doc export, robust to
+# row order (XOR commutes) and to engine (md5, not a JVM-only hash).
+# ---------------------------------------------------------------------------
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-(lang, shard) manifest over the token-budget packing: document
+    count, token sum, and the XOR content digest.  Packing matches
+    corpus_export_shards' append-stable rule (running per-lang token
+    total, shard = cum_before // budget, doc_id order) so adding
+    documents never re-digests existing shards.
+
+    Scale shape: ONE lang-partitioned window feeds the packing and the
+    groupBy(lang, shard) shares its partitioning; the digest is a
+    map-side-combinable XOR aggregate — no extra shuffle, no sort."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    digest = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 14), 16, 10
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = d.select(
+        "lang", "doc_id", n_tokens.alias("n_tokens"), digest.alias("digest")
+    ).withColumn(
+        "shard_id", F.floor(cum_before / _SHARD_TOKEN_BUDGET).cast("int")
+    )
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.expr("bit_xor(digest)").alias("content_digest"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH packed AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         ('0x' || substr(md5(text), 1, 14))::BIGINT AS digest,
+         CAST(FLOOR(COALESCE(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {_SHARD_TOKEN_BUDGET}) AS INT) AS shard_id
+  FROM documents
+)
+SELECT lang, shard_id,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       bit_xor(digest) AS content_digest
+FROM packed GROUP BY lang, shard_id ORDER BY lang, shard_id
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "shard_manifest": {"builder": q_shard_manifest, "sql": SQL_SHARD_MANIFEST},
+    }
+)
