@@ -715,3 +715,42 @@ class TestStoreMaintenance:
         assert os.path.isdir(keep_dir) and os.listdir(keep_dir)
         # idempotent: nothing left to expire
         assert store.expire_snapshots() == []
+
+
+class TestLineageMetrics:
+    def test_rollup_matches_results_and_rule_hits_resum(self, spark, tmp_path):
+        """lineage_metrics totals must equal what the results table says
+        (turns/completed/failed), and the per-run rule_hits map must
+        re-sum the per-partition JSON maps exactly."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.pipeline import lineage_metrics
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(4, median_turns=6, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / "lm"))
+        out = run_extraction(spark, sdf, store=store, num_partitions=4)
+
+        m = lineage_metrics(store, spark).collect()
+        assert len(m) == 1 and m[0].run_id == out["run_id"]
+        res = store.results(spark)
+        assert m[0].turns_processed == res.count()
+        assert m[0].completed == res.filter(F.col("status") == "COMPLETED").count()
+        assert m[0].failed == res.filter(F.col("status") == "FAILED").count()
+        assert m[0].n_partitions >= 1 and m[0].wall_ms >= 0
+
+        rolled = _json.loads(m[0].rule_hits)
+        expect = {
+            r.rule: r.n
+            for r in res.groupBy("rule").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert rolled == expect
+
+        # a second run over the same input is a resume no-op: no new
+        # lineage rows, metrics unchanged
+        run_extraction(spark, sdf, store=store, num_partitions=4)
+        assert lineage_metrics(store, spark).count() == 1

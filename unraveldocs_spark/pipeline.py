@@ -95,6 +95,49 @@ def partition_lineage(extractions: DataFrame, run_id: str, wall_ms: int) -> Data
     )
 
 
+def lineage_metrics(store, spark: SparkSession) -> DataFrame:
+    """Aggregate the store's per-partition lineage rows into the
+    run-level extraction metrics the north rule mandates (turns
+    processed, bytes parsed, completed/failed, wall time, heuristic-rule
+    hit counts) — the queryable analog of the reference's OcrMetrics
+    registry (OcrMetrics.java:42-157), derived from the durable audit
+    rows instead of an in-memory meter.
+
+    rule_hits is stored as a JSON map per partition; the rollup explodes
+    it and re-sums per rule, emitting one JSON map per run (sorted keys,
+    deterministic).  Scale shape: lineage is one row per task partition
+    per run — thousands of rows per run at 10^12 turns, trivially
+    aggregable."""
+    lin = store.lineage(spark)
+    hits = lin.select(
+        "run_id",
+        F.explode(
+            F.from_json(F.col("rule_hits"), "map<string,bigint>")
+        ).alias("rule", "hits"),
+    )
+    per_rule = (
+        hits.groupBy("run_id", "rule")
+        .agg(F.sum("hits").alias("hits"))
+        .groupBy("run_id")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("rule", "hits")))
+                )
+            ).alias("rule_hits")
+        )
+    )
+    totals = lin.groupBy("run_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_partitions"),
+        F.sum("turns_processed").alias("turns_processed"),
+        F.sum("bytes_parsed").alias("bytes_parsed"),
+        F.sum("completed").alias("completed"),
+        F.sum("failed").alias("failed"),
+        F.max("wall_ms").alias("wall_ms"),
+    )
+    return totals.join(per_rule, "run_id", "left").orderBy("run_id")
+
+
 def run_extraction(
     spark: SparkSession,
     transcripts: DataFrame,
