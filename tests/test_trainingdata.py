@@ -799,3 +799,48 @@ class TestPCA:
         best_axes = np.sort(per_axis_var)[::-1][:k].sum()
         assert captured >= best_axes - 1e-9  # optimal >= best axis subset
         assert captured / total_var > k / EMB_DIM  # beats chance share
+
+
+class TestAdviceGuards:
+    def test_connected_components_raises_when_unconverged(self, spark):
+        """A chain deeper than max_iters must fail loudly (wrong labels
+        would silently diverge from the recursive-CTE oracle), and the
+        large-star/small-star variant must solve the same graph in its
+        log(n) rounds."""
+        from unraveldocs_spark.trainingdata import (
+            connected_components,
+            connected_components_star,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iters=3)
+        # star variant: one component, min label 0
+        labels = connected_components_star(chain).collect()
+        assert {r.label for r in labels} == {0}
+        assert len(labels) == 31
+
+    def test_paragraph_stride_guard_raises_on_alias(self, spark):
+        """A document with >= _PARA_STRIDE 16-word chunks would alias its
+        para_id into another doc's range; the guard must raise instead of
+        silently corrupting the decode."""
+        from unraveldocs_spark.trainingdata import (
+            _PARA_STRIDE,
+            _PARA_WORDS,
+            _paragraphs,
+        )
+
+        ok = spark.createDataFrame(
+            [(1, " ".join(["w"] * (_PARA_WORDS * 3)))], "doc_id long, text string"
+        )
+        assert len(_paragraphs(ok).collect()) == 3
+
+        # one word past _PARA_STRIDE full chunks -> para_idx == stride
+        huge_words = _PARA_WORDS * _PARA_STRIDE + 1
+        huge = spark.createDataFrame(
+            [(2, " ".join(["w"] * huge_words))], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="_PARA_STRIDE"):
+            _paragraphs(huge).collect()
