@@ -127,6 +127,7 @@ HEADLINE_QUERIES = (
     "fuzzy_search",
     "ai_enrich",
     "delete_reclaim",
+    "exact_substring_dedup",
 )
 
 

@@ -844,3 +844,59 @@ class TestAdviceGuards:
         )
         with pytest.raises(Exception, match="_PARA_STRIDE"):
             _paragraphs(huge).collect()
+
+
+class TestExactSubstringDedup:
+    def test_shared_span_removed_from_all_copies(self, spark):
+        """A k-token span shared by two docs must be marked in BOTH
+        (ExactSubstr removes every occurrence), unique text must
+        survive, and the kept digest must equal the md5-56 of the
+        surviving tokens in order."""
+        from unraveldocs_spark.trainingdata import _ESUB_K
+
+        shared = " ".join(f"s{i}" for i in range(_ESUB_K))
+        doc1 = f"u1 u2 u3 {shared} u4 u5"
+        doc2 = f"v1 {shared} v2 v3 v4"
+        doc3 = "w1 w2 w3 w4 w5 w6"  # shorter than k: no grams, all kept
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [doc1, doc2, doc3],
+                "lang": ["en"] * 3,
+                "source": ["srcA"] * 3,
+                "n_chars": [len(doc1), len(doc2), len(doc3)],
+            }
+        )
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}", exist_ok=True)
+            import duckdb
+
+            duckdb.sql("SELECT * FROM pdf").write_parquet(
+                f"{td}/documents.parquet"
+            )
+            from unraveldocs_spark.trainingdata import q_exact_substring_dedup
+
+            rows = {r.doc_id: r for r in
+                    q_exact_substring_dedup(spark, td).collect()}
+
+        import hashlib
+
+        def digest56(tokens):
+            h = hashlib.md5(" ".join(tokens).encode()).hexdigest()[:14]
+            return int(h, 16)
+
+        # doc1: the shared 8 tokens are covered; u1..u5 survive
+        assert rows[1].n_tokens == _ESUB_K + 5
+        assert rows[1].n_dup_tokens == _ESUB_K
+        assert rows[1].kept_digest == digest56(["u1", "u2", "u3", "u4", "u5"])
+        # doc2 likewise
+        assert rows[2].n_dup_tokens == _ESUB_K
+        assert rows[2].kept_digest == digest56(["v1", "v2", "v3", "v4"])
+        # doc3: too short for any gram — nothing marked
+        assert rows[3].n_dup_tokens == 0
+        assert rows[3].kept_digest == digest56(["w1", "w2", "w3", "w4", "w5", "w6"])

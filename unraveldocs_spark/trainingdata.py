@@ -3915,3 +3915,172 @@ TRAINING_REGISTRY.update(
         "shard_manifest": {"builder": q_shard_manifest, "sql": SQL_SHARD_MANIFEST},
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring deduplication (ExactSubstr, Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better"): any k-token span that occurs
+# more than once ACROSS THE CORPUS is removed from every document.  The
+# reference implementation builds a suffix array over the concatenated
+# corpus; the Spark-first equivalent below gets the same span semantics
+# with shuffle-friendly primitives: rolling k-gram keys, a corpus-wide
+# frequency, and a windowed coverage fold — no suffix array, no global
+# sort, no driver-side text.
+# ---------------------------------------------------------------------------
+
+_ESUB_K = 8  # span length in tokens (the paper uses 50 BPE tokens; scaled
+#              to the synthetic ~25-word docs the same way the other gates are)
+
+
+def q_exact_substring_dedup(spark, sf_dir):
+    """Per-document exact-substring dedup accounting: number of tokens
+    covered by some duplicated k-gram, and the md5-derived digest of the
+    SURVIVING token sequence (kept spans joined by one space) — the
+    narrow-row form of the rewritten text, so the full rewrite is
+    driver-hash-verified without shipping megabyte strings through the
+    compare harness.
+
+    Mechanics: (1) every in-doc k-gram emits (gram-hash, doc, pos);
+    (2) one groupBy(gram-hash) counts corpus-wide occurrences; grams
+    with count >= 2 are duplicated — INCLUDING both copies, as in the
+    paper (all occurrences are removed, which is safe because training
+    text lost this way is pure repetition); (3) a token at position p is
+    covered iff some duplicated gram starts in [p-k+1, p] — a windowed
+    MAX over the per-token dup-start flags, NOT a range join; (4) the
+    survivors rebuild in token order via the same window partitioning.
+
+    Scale shape: one Exchange on gram hash (count), one on doc_id (the
+    coverage window); both keys are uniform.  The gram explode is k x
+    corpus tokens — the same constant factor every shingle stage pays;
+    grams stay 14-char hashes, never raw text."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    base = d.select("doc_id", toks.alias("toks"), n_tok.alias("n_tokens"))
+
+    # guard: Spark sequence(0, -1) counts DOWN; docs shorter than k emit
+    # no grams via an explicit empty array
+    starts = F.when(
+        F.size("toks") >= _ESUB_K,
+        F.sequence(F.lit(0), F.size("toks") - _ESUB_K),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.substring(
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("toks"), i + 1, _ESUB_K), " "
+                        ).cast("binary")
+                    ),
+                    1,
+                    14,
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gh")
+    )
+    dup_starts = grams.join(dup_grams, "gh").select(
+        "doc_id", "pos", F.lit(1).alias("dup_start")
+    )
+
+    tok_rows = base.select(
+        "doc_id", "n_tokens", F.posexplode(F.col("toks")).alias("pos", "tok")
+    ).join(dup_starts, ["doc_id", "pos"], "left")
+    w_cov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_ESUB_K - 1), Window.currentRow)
+    )
+    covered = F.max(F.coalesce(F.col("dup_start"), F.lit(0))).over(w_cov)
+    marked = tok_rows.select(
+        "doc_id", "n_tokens", "pos", "tok", covered.alias("covered")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("int").alias("n_tokens"),
+            F.sum("covered").cast("int").alias("n_dup_tokens"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(
+                                    F.collect_list(
+                                        F.when(
+                                            F.col("covered") == 0,
+                                            F.struct("pos", "tok"),
+                                        )
+                                    )
+                                ),
+                                lambda s: s["tok"],
+                            ),
+                            " ",
+                        ).cast("binary")
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("kept_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_EXACT_SUBSTRING_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), grams AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         substr(md5(array_to_string(list_slice(toks, u.i, u.i + {_ESUB_K} - 1), ' ')), 1, 14) AS gh
+  FROM base, UNNEST(range(1, GREATEST(n_tokens - {_ESUB_K}, -1) + 2)) AS u(i)
+), dup_grams AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+), tok_rows AS (
+  SELECT b.doc_id, b.n_tokens, u.i - 1 AS pos, toks[u.i] AS tok
+  FROM base b, UNNEST(range(1, n_tokens + 1)) AS u(i)
+), marked AS (
+  SELECT t.doc_id, t.n_tokens, t.pos, t.tok,
+         MAX(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                 ROWS BETWEEN {_ESUB_K - 1} PRECEDING AND CURRENT ROW) AS covered
+  FROM tok_rows t
+  LEFT JOIN (SELECT g.doc_id, g.pos, g.gh FROM grams g JOIN dup_grams USING (gh)) d
+    ON t.doc_id = d.doc_id AND t.pos = d.pos
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS INT) AS n_tokens,
+       CAST(SUM(covered) AS INT) AS n_dup_tokens,
+       ('0x' || substr(md5(COALESCE(array_to_string(
+           list_transform(
+             list_sort(list({{'pos': pos, 'tok': tok}}) FILTER (WHERE covered = 0)),
+             s -> s.tok),
+           ' '), '')), 1, 14))::BIGINT AS kept_digest
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "exact_substring_dedup": {
+            "builder": q_exact_substring_dedup,
+            "sql": SQL_EXACT_SUBSTRING_DEDUP,
+        },
+    }
+)
