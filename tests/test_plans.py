@@ -543,3 +543,55 @@ class TestTokenizePackPlan:
         plan = plan_of(q_tokenize_pack(spark, SF), "simple")
         assert plan.count("hashpartitioning") == 1, plan
         assert "Join" not in plan
+
+
+class TestRound4Plans:
+    def test_exact_substring_dedup_no_nested_loop(self, spark):
+        """Gram counting must be a hash aggregate and the dup-gram join an
+        equi-join — never a cartesian/nested-loop over positions."""
+        from unraveldocs_spark.trainingdata import q_exact_substring_dedup
+
+        plan = plan_of(q_exact_substring_dedup(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "HashAggregate" in plan
+
+    def test_shard_manifest_single_lang_exchange(self, spark):
+        """Packing window and the (lang, shard) groupBy must SHARE one
+        lang-rooted hash partitioning — one Exchange total."""
+        from unraveldocs_spark.trainingdata import q_shard_manifest
+
+        plan = plan_of(q_shard_manifest(spark, SF), "simple")
+        # final orderBy adds a rangepartitioning; hash exchanges must be 1
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_vocab_drift_broadcasts_totals_and_takeordered(self, spark):
+        """The 1-row totals dim must broadcast (never shuffle the token
+        table against it) and the top-K must fold driver-side."""
+        from unraveldocs_spark.trainingdata import q_vocab_drift
+
+        plan = plan_of(q_vocab_drift(spark, SF), "simple")
+        assert "BroadcastExchange" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_stratified_split_label_join_is_equi(self, spark):
+        from unraveldocs_spark.trainingdata import q_stratified_split
+
+        plan = plan_of(q_stratified_split(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ai_enrich_single_scan_no_shuffle_before_sort(self, spark):
+        """Pure narrow transforms: the only exchange is the presentation
+        sort's range partitioning."""
+        from unraveldocs_spark.queries import q_ai_enrich
+
+        plan = plan_of(q_ai_enrich(spark, SF), "simple")
+        assert plan.count("Exchange hashpartitioning") == 0
+
+    def test_delete_reclaim_filter_before_single_aggregate(self, spark):
+        from unraveldocs_spark.queries import q_delete_reclaim
+
+        plan = plan_of(q_delete_reclaim(spark, SF), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1  # one groupBy
+        assert "Filter" in plan
