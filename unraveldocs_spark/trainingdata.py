@@ -4084,3 +4084,124 @@ TRAINING_REGISTRY.update(
         },
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible training-order shuffle + token-budget subsampling — the two
+# "assemble exactly the corpus the run will see" primitives: training order
+# must be a deterministic function of content keys (re-runs and resumed
+# runs see the same order — never rand()), and corpus size is fixed by a
+# token budget, not a row count.
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET_TOKENS = 4000  # per-lang token budget (scaled to synthetic docs)
+
+
+def _shuffle_key(col):
+    """56-bit md5 key — the deterministic shuffle order (uniform, content-
+    keyed, identical across engines/runs/resumes)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 14), 16, 10
+    ).cast("bigint")
+
+
+def q_deterministic_shuffle(spark, sf_dir):
+    """Global reproducible shuffle order: rank every document by its
+    md5 key (ties by doc_id).  This is the order a training run streams
+    the corpus in — any re-run, resume, or engine re-derives it exactly.
+
+    Scale shape: at 10^12 docs a global rank is ONE range-partitioned
+    sort on a uniform 56-bit key (Spark's rangepartitioning sampler
+    balances it); no window over a single partition, no driver sort.
+    Emitting shard = key mod N instead (no rank) would avoid even that
+    Exchange; the rank form is kept because downstream curriculum ops
+    consume positions."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", _shuffle_key(F.col("doc_id")).alias("shuffle_key")
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        F.row_number().over(w).alias("train_order"),
+    ).orderBy("train_order")
+
+
+SQL_DETERMINISTIC_SHUFFLE = """
+SELECT doc_id,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT,
+                  doc_id) AS INT) AS train_order
+FROM documents ORDER BY train_order
+"""
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget subsample: walk the per-lang corpus in deterministic
+    shuffle order and keep documents while the RUNNING token total
+    (before the doc) stays under the language's budget — the "give me
+    exactly ~N tokens per language" assembly step.  Inclusive-boundary
+    rule: a doc is kept iff the total BEFORE it is under budget, so the
+    budget may be exceeded by at most one document (the standard
+    greedy-prefix packing, same rule as shard packing).
+
+    Scale shape: one lang-partitioned window (running sum in key order);
+    per-lang state is a single counter — no driver involvement, no
+    second pass."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    keyed = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"),
+        _shuffle_key(F.col("doc_id")).alias("k"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        keyed.withColumn("cum_before", cum_before.cast("bigint"))
+        .filter(F.col("cum_before") < _TB_BUDGET_TOKENS)
+        .select("doc_id", "lang", "n_tokens", "cum_before")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS k
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM keyed
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, cum_before
+FROM cum WHERE cum_before < {_TB_BUDGET_TOKENS} ORDER BY doc_id
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "deterministic_shuffle": {
+            "builder": q_deterministic_shuffle,
+            "sql": SQL_DETERMINISTIC_SHUFFLE,
+        },
+        "token_budget_sample": {
+            "builder": q_token_budget_sample,
+            "sql": SQL_TOKEN_BUDGET_SAMPLE,
+        },
+    }
+)
