@@ -4205,3 +4205,81 @@ TRAINING_REGISTRY.update(
         },
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the C4-style cleanup pass that runs BEFORE any
+# hashing/dedup so near-identical bytes normalize to identical keys:
+# strip ASCII control characters (except \t \n), collapse whitespace runs
+# to one space, trim — with per-doc fix accounting so the pipeline can
+# report how dirty the source was.
+# ---------------------------------------------------------------------------
+
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def q_text_normalize(spark, sf_dir):
+    """Per-doc normalization accounting: counts of control characters
+    removed and whitespace runs collapsed, plus the md5-56 digest of the
+    normalized text (narrow-row verification of the full rewrite, same
+    pattern as exact_substring_dedup).  Dirty input is derived
+    deterministically (doc_id % 3 families inject NULs / CR runs /
+    doubled spaces) since the driver corpus is already clean.
+
+    Scale shape: pure narrow regexp transforms — zero shuffles before
+    the presentation sort; at 100 TB this rides the ingest scan."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("\x00\x01"), F.col("text"), F.lit("\x7f")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.regexp_replace(F.col("text"), " ", "  \r"),
+        )
+        .otherwise(F.col("text"))
+    )
+    src = d.select("doc_id", dirty.alias("t"))
+    n_ctrl = F.length(F.col("t")) - F.length(
+        F.regexp_replace(F.col("t"), _CTRL_CLASS, "")
+    )
+    stripped = F.regexp_replace(F.col("t"), _CTRL_CLASS, "")
+    n_ws_runs = F.regexp_count(stripped, F.lit(r"[ \t\n\r]{2,}"))
+    normalized = F.trim(F.regexp_replace(stripped, r"[ \t\n\r]+", " "))
+    return src.select(
+        "doc_id",
+        n_ctrl.cast("int").alias("n_ctrl_removed"),
+        n_ws_runs.cast("int").alias("n_ws_collapsed"),
+        F.conv(
+            F.substring(F.md5(normalized.cast("binary")), 1, 14), 16, 10
+        ).cast("bigint").alias("norm_digest"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_NORMALIZE = rf"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN chr(0) || chr(1) || text || chr(127)
+              WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ' || chr(13))
+              ELSE text END AS t
+  FROM documents
+), stripped AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{_CTRL_CLASS}', '', 'g') AS s
+  FROM src
+)
+SELECT doc_id,
+       CAST(length(t) - length(s) AS INT) AS n_ctrl_removed,
+       CAST(len(regexp_extract_all(s, '[ \t\n\r]{{2,}}')) AS INT) AS n_ws_collapsed,
+       ('0x' || substr(md5(trim(regexp_replace(s, '[ \t\n\r]+', ' ', 'g'), ' ')), 1, 14))::BIGINT
+         AS norm_digest
+FROM stripped ORDER BY doc_id
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "text_normalize": {"builder": q_text_normalize, "sql": SQL_TEXT_NORMALIZE},
+    }
+)
