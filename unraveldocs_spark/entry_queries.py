@@ -436,3 +436,103 @@ ENTRY_REGISTRY: dict[str, dict] = {
     "multimodal_resize": {"builder": q_multimodal_resize, "sql": SQL_MULTIMODAL_RESIZE},
     "multimodal_features": {"builder": q_multimodal_features, "sql_fn": _features_sql},
 }
+
+
+# ---------------------------------------------------------------------------
+# Conversation context assembly — the transcript-native packing step that
+# turns extracted multi-turn conversations into SFT training examples:
+# turns concatenated in order as "role: text" lines under a per-
+# conversation token budget (greedy prefix in turn order — the oldest
+# turns are the context the example needs; overflow truncates the tail).
+# ---------------------------------------------------------------------------
+
+_CONV_PACK_BUDGET = 400  # per-conversation token budget (synthetic scale)
+
+
+def q_conversation_pack(spark, sf_dir):
+    """Per-conversation SFT example assembly over the derived
+    transcripts: keep turns while the running token total BEFORE the
+    turn is under budget (same inclusive-boundary rule as shard
+    packing), then emit per-conv kept-turn counts, kept tokens, and the
+    md5-56 digest of the assembled "role: text" example — narrow-row
+    verification of the full assembly, as exact_substring_dedup does.
+
+    Scale shape: one conv_id-partitioned window (running sum in turn
+    order) feeding a groupBy(conv_id) that SHARES the partitioning —
+    one Exchange total; assembly is collect_list of already-ordered
+    structs, never a driver-side concat."""
+    t = derived_transcripts(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    kept = (
+        t.select("conv_id", "turn_idx", "role", "text", n_tokens.alias("n_tokens"))
+        .withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < _CONV_PACK_BUDGET)
+    )
+    line = F.concat_ws(": ", "role", "text")
+    return (
+        kept.select("conv_id", "turn_idx", "n_tokens", line.alias("line"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns_kept"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(
+                                    F.collect_list(F.struct("turn_idx", "line"))
+                                ),
+                                lambda s: s["line"],
+                            ),
+                            "\n",
+                        ).cast("binary")
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("example_digest"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+SQL_CONVERSATION_PACK = f"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS turn_idx,
+         CASE WHEN doc_id % 5 = 4 THEN 'tool'
+              WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+), kept AS (
+  SELECT conv_id, turn_idx, n_tokens, role || ': ' || text AS line
+  FROM cum WHERE cum_before < {_CONV_PACK_BUDGET}
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS INT) AS n_turns_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
+       ('0x' || substr(md5(string_agg(line, chr(10) ORDER BY turn_idx)), 1, 14))::BIGINT
+         AS example_digest
+FROM kept GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+ENTRY_REGISTRY["conversation_pack"] = {
+    "builder": q_conversation_pack,
+    "sql": SQL_CONVERSATION_PACK,
+}
