@@ -754,3 +754,27 @@ class TestLineageMetrics:
         # lineage rows, metrics unchanged
         run_extraction(spark, sdf, store=store, num_partitions=4)
         assert lineage_metrics(store, spark).count() == 1
+
+
+class TestAutoCompact:
+    def test_maybe_compact_threshold_and_state_identity(self, spark, tmp_path):
+        from unraveldocs_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = G.transcripts_pandas(3, median_turns=4, hot_factor=2,
+                                   include_oversize=False)
+        sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        store = DirCheckpointStore(str(tmp_path / "ac"))
+        run_extraction(spark, sdf, store=store, num_partitions=4)
+        empty = store.results(spark).limit(0)
+        for i in range(3):
+            store.append(empty, run_id=f"noop-{i}")
+        state = {(r.conv_id, r.turn_idx)
+                 for r in store.completed_keys(spark).collect()}
+
+        assert store.maybe_compact(spark, threshold=10) is None  # under
+        assert len(store.snapshots()) == 4
+        snap = store.maybe_compact(spark, threshold=2)
+        assert snap is not None
+        assert store.snapshots() == [snap]  # compacted + expired
+        assert {(r.conv_id, r.turn_idx)
+                for r in store.completed_keys(spark).collect()} == state

@@ -253,6 +253,23 @@ class DirCheckpointStore:
             self._manifest_cache.pop(s, None)
         return expired
 
+    def maybe_compact(self, spark: SparkSession, threshold: int = 32,
+                      expire: bool = True) -> str | None:
+        """Auto-compaction policy: when the live snapshot list exceeds
+        ``threshold``, rewrite full current state as one compacted
+        snapshot (and optionally expire the superseded ones).  The
+        operational loop a long-lived micro-batch ingest runs every N
+        commits so ``results()`` never unions an unbounded directory —
+        the DirCheckpointStore analog of Iceberg's rewrite_data_files +
+        expire_snapshots maintenance pair.  Returns the new snapshot id
+        or None if under threshold."""
+        if len(self._live_snapshots()) <= threshold:
+            return None
+        snap = self.append(self.results(spark), compacted=True)
+        if expire:
+            self.expire_snapshots()
+        return snap
+
     def snapshot_diff(self, spark: SparkSession, snap_a: str,
                       snap_b: str) -> DataFrame:
         """Key-level audit of what changed between two snapshots of this
