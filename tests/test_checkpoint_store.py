@@ -130,3 +130,17 @@ def test_iceberg_delete_sql_pinned():
         "ON t.doc_id = u.doc_id "
         "WHEN MATCHED THEN DELETE"
     )
+
+
+def test_iceberg_maintenance_sql_pinned():
+    from unraveldocs_spark.checkpoint import iceberg_maintenance_sql
+
+    rewrite, expire = iceberg_maintenance_sql("cat.db.results")
+    assert rewrite == (
+        "CALL cat.system.rewrite_data_files(table => 'cat.db.results')"
+    )
+    assert expire == (
+        "CALL cat.system.expire_snapshots(table => 'cat.db.results', "
+        "older_than => current_timestamp() - INTERVAL 7 DAYS, "
+        "retain_last => 10)"
+    )

@@ -340,6 +340,27 @@ def iceberg_delete_sql(results_table: str, keys_view: str = "_delete_keys",
     )
 
 
+def iceberg_maintenance_sql(results_table: str,
+                            older_than: str = "current_timestamp() - INTERVAL 7 DAYS",
+                            retain_last: int = 10) -> tuple[str, str]:
+    """The maintenance pair the Iceberg production path runs on the same
+    cadence as DirCheckpointStore.maybe_compact (rendered pure so the
+    SQL is unit-pinned without an Iceberg jar): small-file compaction
+    plus snapshot expiry with a retained-history floor.  ``catalog`` is
+    the first identifier segment of ``results_table``."""
+    catalog = results_table.split(".", 1)[0]
+    rewrite = (
+        f"CALL {catalog}.system.rewrite_data_files(table => '{results_table}')"
+    )
+    expire = (
+        f"CALL {catalog}.system.expire_snapshots("
+        f"table => '{results_table}', "
+        f"older_than => {older_than}, "
+        f"retain_last => {retain_last})"
+    )
+    return rewrite, expire
+
+
 def iceberg_has_run_sql(results_table: str, run_id: str) -> str:
     """Lookup of a committed run_id in the table's snapshot log (the
     ``<table>.snapshots`` metadata table): appends stamp the run_id into
