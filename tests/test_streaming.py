@@ -388,3 +388,39 @@ def test_streaming_session_windows_match_batch_sessionize(spark, tmp_path):
     non_last = batch.join(w_last, ["user_id", "start_epoch"], "left_anti")
     missing = non_last.exceptAll(got).count()
     assert missing == 0, f"{missing} finalized sessions missing from the stream"
+
+
+def test_stream_dedup_ingest_drops_null_text(spark, tmp_path):
+    """A NULL-text turn digests to NULL; the anti-join on digest never
+    matches NULL, so without the filter the same row re-commits every
+    restart — the committed corpus must exclude NULL-text rows entirely
+    and stay stable across a replay."""
+    import shutil
+
+    from unraveldocs_spark.schemas import DEDUP_INGEST_SCHEMA
+    from unraveldocs_spark.streaming import stream_dedup_ingest
+
+    pdf = G.transcripts_pandas(2, hot_factor=1, include_oversize=False)
+    pdf.loc[len(pdf)] = ["conv-null", 0, "user", None, None, pdf.ts.iloc[0]]
+
+    input_dir = str(tmp_path / "nn-in")
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    store = DirCheckpointStore(
+        str(tmp_path / "nn-store"), results_schema=DEDUP_INGEST_SCHEMA
+    )
+    ckpt = str(tmp_path / "nn-ckpt")
+    stream_dedup_ingest(spark, input_dir, store, ckpt).awaitTermination(120)
+
+    res = store.results(spark)
+    n = res.count()
+    assert res.filter("text IS NULL OR digest IS NULL").count() == 0
+    assert n == len(set(t for t in pdf.text if t is not None))
+
+    # replay: the NULL row must not re-commit (the unbounded-duplicates
+    # failure mode the filter exists to prevent)
+    shutil.rmtree(ckpt)
+    stream_dedup_ingest(spark, input_dir, store, ckpt).awaitTermination(120)
+    assert store.results(spark).count() == n

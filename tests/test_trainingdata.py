@@ -900,3 +900,35 @@ class TestExactSubstringDedup:
         # doc3: too short for any gram — nothing marked
         assert rows[3].n_dup_tokens == 0
         assert rows[3].kept_digest == digest56(["w1", "w2", "w3", "w4", "w5", "w6"])
+
+
+class TestWideBandShapeEndToEnd:
+    def test_wide_shape_still_finds_planted_duplicates(self, spark):
+        """The production band shape (shape_n=20000 -> 2x8, LSH threshold
+        ~0.92) must still surface exact duplicates (jaccard 1.0 collides
+        in every band regardless of shape) while the 4x4 driver shape is
+        what the oracle mirrors — pins that passing a corpus size through
+        shape_n actually changes the banding without losing true dups."""
+        from unraveldocs_spark.trainingdata import (
+            _minhash_candidate_pairs,
+            _spark_shingles,
+            minhash_band_shape,
+        )
+
+        assert minhash_band_shape(20000) == (2, 8)
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+                (3, "one two three four five six seven eight"),
+            ],
+            "doc_id long, text string",
+        )
+        sh = docs.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in _minhash_candidate_pairs(sh, shape_n=20000)
+            .select("doc_a", "doc_b").collect()
+        }
+        assert (1, 2) in pairs
+        assert all(p == (1, 2) for p in pairs), pairs
