@@ -4283,3 +4283,98 @@ TRAINING_REGISTRY.update(
         "text_normalize": {"builder": q_text_normalize, "sql": SQL_TEXT_NORMALIZE},
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style head/middle/tail quality buckets — the corpus is split into
+# thirds by per-document LM perplexity rank (CCNet, Wenzek et al. 2020):
+# "head" trains first-class, "middle" is kept with lower weight, "tail"
+# is usually dropped.  Rank is EXACT (row_number on the integer-e4 NLL,
+# doc_id tie-break), so the bucket boundary is engine-identical — no
+# approximate percentile crosses the compare.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_buckets(spark, sf_dir):
+    """Per-doc head/middle/tail assignment by exact perplexity rank
+    thirds, plus each bucket's doc count and mean NLL for the rollup the
+    mix-weighting stage consumes.
+
+    Scale shape: one global rank over (mean_nll_e4, doc_id) — a
+    range-partitioned sort on an integer key, same cost class as
+    deterministic_shuffle; the bucket rollup reuses the ranked rows.
+    At 10^12 docs the practical variant ranks per language partition
+    (CCNet buckets per language); global rank is kept here because the
+    driver corpus is single-digit-languages small."""
+    from pyspark.sql.window import Window
+
+    base = q_quality_perplexity(spark, sf_dir).filter(
+        F.col("mean_nll_e4").isNotNull()
+    )
+    w = Window.orderBy("mean_nll_e4", "doc_id")
+    ranked = base.select(
+        "doc_id",
+        "mean_nll_e4",
+        F.row_number().over(w).alias("rk"),
+    )
+    n_total = base.count()
+    bucket = (
+        F.when(F.col("rk") * 3 <= n_total, F.lit("head"))
+        .when(F.col("rk") * 3 <= 2 * n_total, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.select("doc_id", "mean_nll_e4", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("mean_nll_e4").cast("bigint").alias("sum_mean_nll_e4"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_QUALITY_BUCKETS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                     i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 14))::BIGINT
+                          % {_PPL_MOD})
+              ELSE [] END AS nll
+  FROM t
+), m AS (
+  SELECT doc_id,
+         CAST(CAST(list_sum(nll) AS BIGINT) // len(nll) AS BIGINT) AS mean_nll_e4
+  FROM b WHERE len(nll) > 0
+), ranked AS (
+  SELECT doc_id, mean_nll_e4,
+         ROW_NUMBER() OVER (ORDER BY mean_nll_e4, doc_id) AS rk,
+         COUNT(*) OVER () AS n_total
+  FROM m
+), assigned AS (
+  SELECT doc_id, mean_nll_e4,
+         CASE WHEN rk * 3 <= n_total THEN 'head'
+              WHEN rk * 3 <= 2 * n_total THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+)
+SELECT bucket,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(mean_nll_e4) AS BIGINT) AS sum_mean_nll_e4,
+       MIN(doc_id) AS min_doc_id
+FROM assigned GROUP BY bucket ORDER BY bucket
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "quality_buckets": {
+            "builder": q_quality_buckets,
+            "sql": SQL_QUALITY_BUCKETS,
+        },
+    }
+)
