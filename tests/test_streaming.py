@@ -424,3 +424,51 @@ def test_stream_dedup_ingest_drops_null_text(spark, tmp_path):
     shutil.rmtree(ckpt)
     stream_dedup_ingest(spark, input_dir, store, ckpt).awaitTermination(120)
     assert store.results(spark).count() == n
+
+
+def test_quota_enforcer_matches_batch_ranking(spark, tmp_path):
+    """Streamed per-(user, day) admission must equal the batch oracle's
+    row_number ranking: first `limit` events of a user's day ALLOWED,
+    the rest DENIED — including counts carried ACROSS micro-batches
+    (the input is staged as two ts-ordered files)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from unraveldocs_spark.streaming_state import quota_enforcer_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ordered = events.orderBy("ts", "event_id")
+    n = ordered.count()
+    half_ts = ordered.limit(n // 2).agg(F.max("ts")).first()[0]
+
+    input_dir = str(tmp_path / "q-in")
+    # two files split at the ts midpoint, arriving in time order
+    ordered.filter(F.col("ts") <= half_ts).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+    ordered.filter(F.col("ts") > half_ts).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    out = str(tmp_path / "q-out")
+    ckpt = str(tmp_path / "q-ckpt")
+    LIMIT = 3
+    q = quota_enforcer_stream(spark, input_dir, out, ckpt, daily_limit=LIMIT)
+    q.awaitTermination(180)
+
+    got = {
+        r.event_id: (r.n_in_day, r.allowed)
+        for r in spark.read.parquet(out).collect()
+    }
+    w = Window.partitionBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd")
+    ).orderBy("ts", "event_id")
+    expect = {
+        r.event_id: (r.rk, r.rk <= LIMIT)
+        for r in events.select(
+            "event_id", F.row_number().over(w).alias("rk")
+        ).collect()
+    }
+    assert len(got) == n
+    assert got == expect
+    assert any(not a for _, a in got.values()), "need some DENIED rows"

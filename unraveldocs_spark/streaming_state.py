@@ -144,3 +144,97 @@ def stateful_rollup_stream(
         .trigger(**trigger)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful per-user daily quota enforcement — the streaming form of the
+# reference's quota counter (OcrQuotaService.java:60-87: per-user daily
+# request count vs the tier limit, consumed atomically per request).
+# ---------------------------------------------------------------------------
+
+QUOTA_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, day string, n_in_day long, allowed boolean"
+)
+QUOTA_STATE_SCHEMA = "n long"
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _make_quota_update(daily_limit: int):
+    def _update(key, pdfs, state):
+        user_id, day = key
+        n = state.get[0] if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            # deterministic admission order within the micro-batch: the
+            # same (ts, event_id) order the batch oracle ranks by
+            pdf = pdf.sort_values(["ts", "event_id"])
+            seq = range(n + 1, n + len(pdf) + 1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "user_id": user_id,
+                        "day": day,
+                        "n_in_day": list(seq),
+                        "allowed": [i <= daily_limit for i in seq],
+                    }
+                )
+            )
+            n += len(pdf)
+        state.update((n,))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return _update
+
+
+def quota_enforcer_stream(
+    spark: Any,
+    input_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    daily_limit: int = 3,
+):
+    """File stream of events -> per-(user, day) stateful admission:
+    each event is ALLOWED while the user's running daily count stays
+    within ``daily_limit``, DENIED after — the streaming analog of the
+    reference's consume-or-reject quota check, with the counter in
+    Spark's managed state store instead of a row lock.
+
+    State per key is ONE long (the day's count); keys age out naturally
+    with the day rollover in a production deployment (eviction timer
+    omitted here for drain-mode determinism, same trade as
+    stateful_rollup_stream).  Deterministic given ts-ordered input
+    files: within a micro-batch each group admits in (ts, event_id)
+    order, so the result equals the batch oracle's
+    row_number-over-(user, day) ranking."""
+    import pyspark.sql.functions as F
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    keyed = stream.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    decided = keyed.groupBy("user_id", "day").applyInPandasWithState(
+        _make_quota_update(daily_limit),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df, _batch_id: int):
+        batch_df.write.mode("append").parquet(out_path)
+
+    return (
+        decided.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
