@@ -4378,3 +4378,86 @@ TRAINING_REGISTRY.update(
         },
     }
 )
+
+
+def q_session_bounce_rate(spark, sf_dir):
+    """Per-day session quality rollup over the gap-based sessions: total
+    sessions started that day, single-event (bounce) sessions, the
+    e4-scaled bounce rate, and mean session length in whole seconds —
+    the behavioral-data health metric computed downstream of sessionize.
+
+    FP parity: rate and mean are ROUND(x*10^4)/DIV integer forms.
+    Scale shape: inherits sessionize's single user_id Exchange; the
+    daily rollup regroups by day (second Exchange on a low-cardinality
+    uniform key)."""
+    sessions = q_sessionize(spark, sf_dir)
+    day = F.date_format(
+        F.to_timestamp(F.col("start_epoch")), "yyyy-MM-dd"
+    )
+    per_day = (
+        sessions.select(
+            day.alias("day"),
+            (F.col("n_events") == 1).cast("int").alias("is_bounce"),
+            (F.col("end_epoch") - F.col("start_epoch")).alias("dur_s"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_sessions"),
+            F.sum("is_bounce").cast("int").alias("n_bounces"),
+            F.sum("dur_s").cast("bigint").alias("sum_dur_s"),
+        )
+    )
+    return per_day.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.round(F.col("n_bounces") * 10000 / F.col("n_sessions"))
+        .cast("bigint")
+        .alias("bounce_rate_e4"),
+        F.expr("sum_dur_s DIV n_sessions").alias("mean_dur_s"),
+    ).orderBy("day")
+
+
+SQL_SESSION_BOUNCE_RATE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), g AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN LAG(es) OVER w IS NULL
+                OR es - LAG(es) OVER w > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq,
+         es
+  FROM g
+), sess AS (
+  SELECT user_id, session_seq,
+         COUNT(*) AS n_events, MIN(es) AS start_epoch, MAX(es) AS end_epoch
+  FROM s GROUP BY user_id, session_seq
+), per_day AS (
+  SELECT strftime(to_timestamp(start_epoch), '%Y-%m-%d') AS day,
+         CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS is_bounce,
+         end_epoch - start_epoch AS dur_s
+  FROM sess
+)
+SELECT day,
+       CAST(COUNT(*) AS INT) AS n_sessions,
+       CAST(SUM(is_bounce) AS INT) AS n_bounces,
+       CAST(ROUND(SUM(is_bounce) * 10000.0 / COUNT(*)) AS BIGINT) AS bounce_rate_e4,
+       CAST(SUM(dur_s) // COUNT(*) AS BIGINT) AS mean_dur_s
+FROM per_day GROUP BY day ORDER BY day
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "session_bounce_rate": {
+            "builder": q_session_bounce_rate,
+            "sql": SQL_SESSION_BOUNCE_RATE,
+        },
+    }
+)
