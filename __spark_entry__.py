@@ -40,25 +40,29 @@ from unraveldocs_spark.trainingdata import TRAINING_REGISTRY  # noqa: E402
 _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset(
     {
         # union of green rows (rows+schema+hash, no err) across
-        # CORRECTNESS_r01.json ∪ r02 ∪ r03 at commit b0f2887 — 97 of the
-        # 99 registered queries; the two r3 failures (fuzzy_search,
-        # moving_window_stats) stay OUT so their round-4 schema fixes
-        # iterate in the front block and get a driver row.
-        "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk", "ann_topk",
-        "anti_join_resume", "array_mean_confidence", "asof_last_error",
-        "broadcast_star_join", "classify_parse", "collection_rollup",
-        "contamination_check", "corpus_build_full",
-        "corpus_export_shards", "corpus_mix_weights",
-        "corpus_percentiles", "corpus_prep", "corpus_sample",
-        "daily_active_users", "daily_quota", "dedup_cluster",
-        "dedup_cluster_star", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_paragraph",
+        # CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 at commit fe85d5a — 111 of
+        # the 113 registered queries; the two r4 failures
+        # (moving_window_stats, vocab_drift — uncast DuckDB SUM →
+        # HUGEINT → float64 driver canon) stay OUT so their round-5
+        # oracle CAST fixes iterate in the front block with every new
+        # r5 query and get a driver row.
+        "ai_enrich", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
+        "ann_topk", "anti_join_resume", "array_mean_confidence",
+        "asof_last_error", "broadcast_star_join", "classify_parse",
+        "collection_rollup", "contamination_check", "conversation_pack",
+        "corpus_build_full", "corpus_export_shards",
+        "corpus_mix_weights", "corpus_percentiles", "corpus_prep",
+        "corpus_sample", "daily_active_users", "daily_quota",
+        "dedup_cluster", "dedup_cluster_star", "dedup_embedding_cosine",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_paragraph", "delete_reclaim", "deterministic_shuffle",
         "distinct_count", "doc_fingerprint", "doc_length_histogram",
-        "dq_checks", "edit_upsert", "embed_quantize",
-        "error_type_sanitize", "event_type_pivot", "explode_unnest",
-        "extract_rollup", "extract_synthetic", "extract_turns",
-        "fence_strip", "filename_rewrite", "frame_sample",
-        "funnel_conversion", "group_stats", "group_stats_cube",
+        "dq_checks", "edit_upsert", "embed_quantize", "encrypted_stats",
+        "error_type_sanitize", "event_type_pivot",
+        "exact_substring_dedup", "explode_unnest", "extract_rollup",
+        "extract_synthetic", "extract_turns", "fence_strip",
+        "filename_rewrite", "frame_sample", "funnel_conversion",
+        "fuzzy_search", "group_stats", "group_stats_cube",
         "hourly_gapfill", "in_list_lookup", "knn_join",
         "lang_confusion", "lang_id", "lang_stopword_ratio",
         "left_join_pending_default", "line_dedup", "log_sanitize",
@@ -66,19 +70,20 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset(
         "multimodal_resize", "paginate_offset",
         "pdf_extension_predicate", "pdf_layout", "pii_redact",
         "pricing_summary", "props_extract", "provider_resolution",
-        "quality_gopher", "quality_perplexity", "quality_repetition",
-        "quality_score", "range_join_bucketed", "regional_revenue",
-        "search_filter", "search_ranked", "semantic_dedup",
-        # "shipping_priority" deliberately omitted: its r4 schema change
-        # (raw o_orderdate -> order_es epoch) needs a fresh driver row
-        "semi_join_exists", "sessionize",
+        "quality_buckets", "quality_gopher", "quality_perplexity",
+        "quality_repetition", "quality_score", "range_join_bucketed",
+        "regional_revenue", "search_filter", "search_ranked",
+        "semantic_dedup", "semi_join_exists", "session_bounce_rate",
+        "sessionize", "shard_manifest", "shipping_priority",
         "simhash_near_dupes", "soft_delete_filter",
-        "status_transitions", "tag_split", "text_preview", "tfidf_topk",
-        "time_window_counts", "token_count", "tokenize_pack",
-        "topk_docs_per_lang", "topn_recent", "truncate_text",
-        "turn_window", "union_shards", "upload_validation",
-        "user_retention", "user_value_quartiles", "vision_metrics",
-        "vocab_topk", "winnow_fingerprints", "word_char_counts",
+        "split_leakage_check", "status_transitions", "stratified_split",
+        "tag_split", "text_normalize", "text_preview", "tfidf_topk",
+        "time_window_counts", "token_budget_sample", "token_count",
+        "tokenize_pack", "topk_docs_per_lang", "topn_recent",
+        "truncate_text", "turn_window", "union_shards",
+        "upload_validation", "user_retention", "user_value_quartiles",
+        "vision_metrics", "vocab_topk", "winnow_fingerprints",
+        "word_char_counts",
     }
 )
 

@@ -13,6 +13,9 @@ import sys
 
 import duckdb
 
+sys.path.insert(0, ".")
+from unraveldocs_spark.drivercanon import describe_oracle, dtype_hazards  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -24,9 +27,12 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return f"{int(v)}"
-        return f"{v:.6g}"
+        # Dtype-preserving: the round driver's pandas canonicalizer
+        # stringifies floats as floats ("30.0"), so int-ifying whole
+        # floats here would hide driver-only mismatches (the r3/r4
+        # HUGEINT→float64 class).  repr = shortest round-trip — two
+        # floats hash equal iff they are bit-identical, like the driver.
+        return repr(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
@@ -101,6 +107,15 @@ def main():
             n_fail += 1
             continue
         problems = []
+        # Driver-canon dtype gate: the driver's pandas pass widens
+        # HUGEINT/DECIMAL to float64 and compares dtypes — a pair the
+        # engines value-match but dtype-mismatch is a driver-only red.
+        try:
+            hazards = dtype_hazards(sdf.schema, describe_oracle(con, sql))
+        except Exception as e:  # DESCRIBE failure on an otherwise-runnable SQL
+            hazards = [f"DESCRIBE failed: {e}"]
+        if hazards:
+            problems.append("driver-canon dtype hazard: " + "; ".join(hazards))
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):

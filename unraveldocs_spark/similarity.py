@@ -146,9 +146,18 @@ def lsh_topk(
     return brute_force_topk(pruned, query_vec, k)
 
 
-def _assign_stage(embeddings: DataFrame, cents_unit: np.ndarray) -> DataFrame:
+def _assign_stage(
+    embeddings: DataFrame, cents_unit: np.ndarray, quantize_e4: bool = False
+) -> DataFrame:
     """vec_id -> nearest-centroid id by cosine (numpy over Arrow batches;
-    argmax ties resolve to the lowest centroid id)."""
+    argmax ties resolve to the lowest centroid id).
+
+    ``quantize_e4`` rounds each cosine to an e4 integer (half-away-from-
+    zero, the DuckDB/Spark ROUND rule) before the argmax, so the
+    assignment decision is integer-exact across engines — a last-ulp
+    float divergence vs DuckDB ``list_cosine_similarity`` at an
+    assignment tie can then never flip cluster membership (r4 verdict
+    item 4; same discipline as the integer-e6 PQ lookup tables)."""
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,6 +168,10 @@ def _assign_stage(embeddings: DataFrame, cents_unit: np.ndarray) -> DataFrame:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ cents_unit.T
+            if quantize_e4:
+                sims = np.copysign(
+                    np.floor(np.abs(sims) * 1e4 + 0.5), sims
+                ).astype(np.int64)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "centroid_id": sims.argmax(axis=1)}
             )

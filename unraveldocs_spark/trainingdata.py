@@ -2722,7 +2722,7 @@ WITH e AS (
   FROM events
 )
 SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
-       SUM(value_c) OVER w AS moving7_sum_c,
+       CAST(SUM(value_c) OVER w AS BIGINT) AS moving7_sum_c,
        CAST(COUNT(*) OVER w AS INT) AS moving7_n,
        MAX(value_c) OVER w AS moving7_max_c
 FROM e
@@ -3318,16 +3318,15 @@ def q_semantic_dedup(spark, sf_dir):
     lowest vec_ids seed, same rule as IVF) keeps the DuckDB oracle exact;
     kmeans_refine plugs in where exactness is not required.
 
-    FP-parity fragility (same caveat as dedup_embedding_cosine): this is
-    the one query family where a FLOAT comparison decides output rows —
-    the numpy-argmax cluster assignment and the >= _SEMDEDUP_COS pair
-    filter numerically differ from DuckDB's list_cosine_similarity in
-    association order, so a last-ulp difference exactly AT an assignment
-    tie or the threshold would flip cluster membership downstream.  The
-    driver corpus has no such boundary case (verified green at three
-    scales); if one ever appears, quantize the compared cosine to e6
-    integers on BOTH engines before the >= and the argmax tie-break,
-    like the integer-e6 PQ lookup tables already do."""
+    FP parity (r5): every engine-decisive comparison is integer-exact —
+    the cluster assignment quantizes cosines to e4 integers before the
+    argmax (``_assign_stage(quantize_e4=True)``) and the pair filter
+    compares ``ROUND(cos * 10^4)`` against the e4 threshold, with the
+    DuckDB oracle applying the identical ROUND (half-away-from-zero on
+    both engines).  A last-ulp float divergence vs DuckDB
+    ``list_cosine_similarity`` can therefore never flip cluster
+    membership or a keep verdict — the same discipline as the
+    integer-e6 PQ lookup tables."""
     import numpy as np
 
     from .similarity import _assign_stage
@@ -3336,18 +3335,20 @@ def q_semantic_dedup(spark, sf_dir):
     cent_rows = e.orderBy("vec_id").limit(_SEMDEDUP_K).collect()
     cents = np.asarray([list(r.embedding) for r in cent_rows], dtype=np.float64)
     cents_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    assigned = _assign_stage(e, cents_unit)
+    assigned = _assign_stage(e, cents_unit, quantize_e4=True)
     v = e.join(assigned, "vec_id").select("vec_id", "centroid_id", "embedding")
     a = v.alias("a")
     b = v.alias("b")
-    cos = _spark_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos_e4 = F.round(
+        _spark_cosine(F.col("a.embedding"), F.col("b.embedding")) * 10000
+    )
     pairs = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= _SEMDEDUP_COS)
+        .filter(cos_e4 >= int(round(_SEMDEDUP_COS * 10000)))
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
     )
     labels = connected_components(pairs)  # (doc_id, label) for paired vecs
@@ -3378,7 +3379,8 @@ WITH RECURSIVE dv AS (
     SELECT d.vec_id, d.v, c.cid,
            ROW_NUMBER() OVER (
              PARTITION BY d.vec_id
-             ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid
+             ORDER BY ROUND(list_cosine_similarity(d.v, c.cv) * 10000) DESC,
+                      c.cid
            ) AS rk
     FROM dv d CROSS JOIN cents c
   ) WHERE rk = 1
@@ -3386,7 +3388,8 @@ WITH RECURSIVE dv AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
   FROM assigned a JOIN assigned b
     ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_COS}
+  WHERE ROUND(list_cosine_similarity(a.v, b.v) * 10000)
+        >= {int(round(_SEMDEDUP_COS * 10000))}
 ), und AS (
   SELECT doc_a AS s, doc_b AS t FROM pairs
   UNION ALL
@@ -3812,10 +3815,12 @@ WITH t AS (
          CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
   FROM t GROUP BY token
 ), totals AS (
-  SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new FROM per_tok
+  SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+         CAST(SUM(c_new) AS BIGINT) AS n_new
+  FROM per_tok
 )
 SELECT token, c_old, c_new,
-       ABS(c_old * n_new - c_new * n_old) AS drift
+       CAST(ABS(c_old * n_new - c_new * n_old) AS BIGINT) AS drift
 FROM per_tok CROSS JOIN totals
 ORDER BY drift DESC, token LIMIT {_DRIFT_TOPK}
 """
