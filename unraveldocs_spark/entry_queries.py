@@ -382,6 +382,63 @@ def _extract_synthetic_sql() -> str:
     return extract_synthetic_sql(n_convs=30, hot_factor=10, include_oversize=False)
 
 
+_MD5_56 = lambda col: F.conv(  # noqa: E731 — md5-56 digest convention
+    F.substring(F.md5(col.cast("binary")), 1, 14), 16, 10
+).cast("bigint")
+
+
+def q_encrypted_roundtrip(spark, sf_dir):
+    """AES-256-GCM encrypt -> store -> decrypt -> extract roundtrip over
+    the synthetic fixture corpus: a deterministic ~60% of turns is
+    uploaded encrypted (crypto.should_encrypt, the enableEncryption flag
+    of DocumentUploadService.java:20), the payload replaced by the
+    {"kind":"encrypted"} envelope (AesEncryptionServiceImpl.java:53-112
+    semantics: 12-byte IV, 128-bit tag, ct||tag layout, IV stored base64
+    as FileEntry.encryptionIv), and the REAL distributed extraction
+    stage decrypts-then-extracts.  Output per turn: the encryption
+    metadata plus the md5-56 digest of the extracted text and a
+    ``match_plain`` flag comparing it against the extraction of the
+    UN-encrypted corpus — 1 everywhere iff the roundtrip is lossless.
+
+    Scale shape: encrypt and extract are both zero-shuffle Arrow stages;
+    the two verification joins key on (conv_id, turn_idx) and exist only
+    for the digest comparison (production never retains the plaintext
+    side)."""
+    from .extract import encrypt_stage
+    from .generator import transcripts_spark
+
+    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    enc_t = encrypt_stage(t)
+    flags = enc_t.select("conv_id", "turn_idx", "is_encrypted", "iv_b64")
+    enc_x = extract_stage(salted_repartition(enc_t, 16)).select(
+        "conv_id", "turn_idx", "status", "rule", "error_message",
+        _MD5_56(F.col("extracted_text")).alias("text_digest"),
+    )
+    plain_x = extract_stage(salted_repartition(t, 16)).select(
+        "conv_id", "turn_idx",
+        _MD5_56(F.col("extracted_text")).alias("plain_digest"),
+    )
+    return (
+        enc_x.join(flags, ["conv_id", "turn_idx"])
+        .join(plain_x, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx", "is_encrypted", "iv_b64",
+            "status", "rule", "error_message", "text_digest",
+            F.col("text_digest")
+            .eqNullSafe(F.col("plain_digest"))
+            .cast("int")
+            .alias("match_plain"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _encrypted_roundtrip_sql() -> str:
+    from .oracle_sql_gen import encrypted_roundtrip_sql
+
+    return encrypted_roundtrip_sql(n_convs=30, hot_factor=10)
+
+
 def _simhash_sql() -> str:
     from .oracle_sql_gen import simhash_near_dupes_sql
 
@@ -424,6 +481,7 @@ ENTRY_REGISTRY: dict[str, dict] = {
     "extract_turns": {"builder": q_extract_turns, "sql": SQL_EXTRACT_TURNS},
     "extract_rollup": {"builder": q_extract_rollup, "sql": SQL_EXTRACT_ROLLUP},
     "extract_synthetic": {"builder": q_extract_synthetic, "sql_fn": _extract_synthetic_sql},
+    "encrypted_roundtrip": {"builder": q_encrypted_roundtrip, "sql_fn": _encrypted_roundtrip_sql},
     "simhash_near_dupes": {"builder": q_simhash_near_dupes, "sql_fn": _simhash_sql},
     "lang_id": {"builder": q_lang_id, "sql": _lang_id_sql()},
     "pdf_layout": {"builder": q_pdf_layout, "sql": SQL_PDF_LAYOUT},

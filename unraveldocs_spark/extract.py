@@ -80,6 +80,48 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def encrypt_stage(transcripts_df):
+    """Upload-side AES-256-GCM encryption over a transcripts frame — the
+    distributed analog of the reference's encrypt-at-upload gate
+    (DocumentUploadImpl.java:55-63): a deterministic subset of turns
+    (crypto.should_encrypt) has its payload replaced by the encrypted
+    JSON envelope, with ``is_encrypted``/``iv_b64`` riding alongside
+    (FileEntry.isEncrypted/encryptionIv).  Zero shuffles — one Arrow
+    stage, narrow dependency on the input partitioning."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from .crypto import encrypt_turn
+    from .schemas import TRANSCRIPTS_SCHEMA
+
+    schema = StructType(
+        TRANSCRIPTS_SCHEMA.fields
+        + [
+            StructField("is_encrypted", IntegerType(), False),
+            StructField("iv_b64", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, flags, ivs = [], [], []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if text is not None and not isinstance(text, str):
+                    text = None if text != text else str(text)
+                t_out, is_enc, iv_b64 = encrypt_turn(conv_id, int(turn_idx), text)
+                texts.append(t_out)
+                flags.append(is_enc)
+                ivs.append(iv_b64)
+            out = pdf.copy()
+            out["text"] = texts
+            out["is_encrypted"] = pd.array(flags, dtype="int32")
+            out["iv_b64"] = ivs
+            yield out
+
+    return transcripts_df.mapInPandas(run, schema=schema)
+
+
 def extract_stage(transcripts_df, carry_ts: bool = False):
     """transcripts (conv_id, turn_idx, role, text, tool, ts) ->
     extractions (EXTRACTIONS_SCHEMA).  With ``carry_ts`` the event time

@@ -48,6 +48,7 @@ RULE_ERROR_NO_DATA = "error_no_data"
 RULE_ERROR_OVERSIZE = "error_oversize"
 RULE_ERROR_PAGE_SELECTION = "error_page_selection"
 RULE_ERROR_UNSUPPORTED = "error_unsupported_kind"
+RULE_ERROR_DECRYPT = "error_decrypt"
 RULE_ERROR_OTHER = "error_other"
 RULE_TOOL_FENCE = "tool_fence"
 RULE_PAGES_DIRECT = "pages_direct"
@@ -63,6 +64,7 @@ ALL_RULES = (
     RULE_ERROR_OVERSIZE,
     RULE_ERROR_PAGE_SELECTION,
     RULE_ERROR_UNSUPPORTED,
+    RULE_ERROR_DECRYPT,
     RULE_ERROR_OTHER,
     RULE_TOOL_FENCE,
     RULE_PAGES_DIRECT,
@@ -123,6 +125,23 @@ def extract_turn(role: str | None, tool: str | None, text: str | None) -> Extrac
         ):
             return _failed(S.ERR_OVERSIZED, RULE_ERROR_OVERSIZE)
 
+        # 2.5. encrypted-at-rest payload — decrypt-then-extract.  Runs
+        #    BEFORE the tool/envelope dispatch because the reference
+        #    decrypts stored bytes at fetch time, before any OCR routing
+        #    (AesEncryptionServiceImpl.java:53-112, upload gating at
+        #    DocumentUploadImpl.java:55-63; FileEntry.isEncrypted/
+        #    encryptionIv).  Tag/base64 failures become row-level FAILED
+        #    with the reference's decrypt-failure message.
+        env = S.try_parse_envelope(text)
+        if env is not None and env.kind == "encrypted":
+            from .crypto import decrypt_envelope_fields
+
+            try:
+                plaintext = decrypt_envelope_fields(env.iv, env.data)
+            except ValueError as e:
+                return _failed(str(e), RULE_ERROR_DECRYPT)
+            return extract_turn(role, tool, plaintext)
+
         # 3. tool-output markup — fence strip after 30k truncation
         if role == "tool" and tool is not None and tool != "":
             truncated = S.truncate_text(text)
@@ -135,8 +154,7 @@ def extract_turn(role: str | None, tool: str | None, text: str | None) -> Extrac
                 rule=RULE_TOOL_FENCE,
             )
 
-        # 4. structured page envelope
-        env = S.try_parse_envelope(text)
+        # 4. structured page envelope (parsed once, in step 2.5)
         if env is not None:
             if env.kind == "vision":
                 # vision response shaping (GoogleVisionOcrProvider.java:250-332)

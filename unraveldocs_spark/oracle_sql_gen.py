@@ -298,6 +298,72 @@ def _sql_str(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _md5_56(text: str | None) -> int | None:
+    """Python twin of the Spark md5-56 digest expression
+    (conv(substr(md5(text),1,14),16,10): 56-bit prefix fits BIGINT)."""
+    import hashlib
+
+    if text is None:
+        return None
+    h = hashlib.md5(text.encode("utf-8", errors="surrogatepass")).hexdigest()
+    return int(h[:14], 16)
+
+
+def encrypted_roundtrip_sql(n_convs: int = 30, hot_factor: int = 10) -> str:
+    """Sequential pure-Python oracle for the AES-GCM roundtrip query
+    (entry_queries.q_encrypted_roundtrip), emitted as a VALUES table:
+    encrypt the same deterministic subset of turns with the same fixture
+    key + (conv_id, turn_idx)-derived IVs, push each through
+    oracle.extract_turn (which decrypts-then-extracts), and digest the
+    result against the plaintext extraction.  The driver then verifies
+    the distributed encrypt -> salted repartition -> Arrow extraction
+    pipeline reproduced the sequential reference per turn.
+
+    Regenerates at oracle_sql() call time, so it tracks crypto/dispatch
+    semantics automatically (same contract as extract_synthetic_sql)."""
+    from .crypto import encrypt_turn
+    from .generator import conv_name, conv_sizes, make_turn
+    from .oracle import extract_turn
+
+    rows = []
+    for c, size in enumerate(conv_sizes(n_convs, 18, hot_factor)):
+        cid = conv_name(c)
+        for t in range(size):
+            role, text, tool = make_turn(c, t, include_oversize=False)
+            enc_text, is_enc, iv_b64 = encrypt_turn(cid, t, text)
+            r_enc = extract_turn(role, tool, enc_text)
+            r_plain = extract_turn(role, tool, text)
+            dg = _md5_56(r_enc.extracted_text)
+            dg_plain = _md5_56(r_plain.extracted_text)
+            rows.append(
+                "(" + ", ".join(
+                    (
+                        _sql_str(cid),
+                        str(t),
+                        str(is_enc),
+                        _sql_str(iv_b64),
+                        _sql_str(r_enc.status),
+                        _sql_str(r_enc.rule),
+                        _sql_str(r_enc.error_message),
+                        "NULL" if dg is None else str(dg),
+                        str(int(dg == dg_plain)),
+                    )
+                ) + ")"
+            )
+    values = ",\n".join(rows)
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(is_encrypted AS INT) AS is_encrypted, iv_b64, status, rule,
+       error_message, CAST(text_digest AS BIGINT) AS text_digest,
+       CAST(match_plain AS INT) AS match_plain
+FROM (VALUES
+{values}
+) AS t(conv_id, turn_idx, is_encrypted, iv_b64, status, rule,
+       error_message, text_digest, match_plain)
+ORDER BY conv_id, turn_idx
+"""
+
+
 def extract_synthetic_sql(
     n_convs: int = 30, hot_factor: int = 10, include_oversize: bool = False
 ) -> str:

@@ -413,6 +413,8 @@ class Envelope:
     end_page: int | None = None
     select_pages: list | None = None
     runs: list | None = None  # F10 positioned text runs (pdflayout.py)
+    iv: str | None = None  # encrypted family (crypto.py): base64 IV
+    data: str | None = None  # encrypted family: base64 ct||tag
 
 
 def try_parse_envelope(text: str):
@@ -438,6 +440,8 @@ def try_parse_envelope(text: str):
             end_page=obj.get("end_page"),
             select_pages=obj.get("select_pages"),
             runs=obj.get("runs"),
+            iv=obj.get("iv"),
+            data=obj.get("data"),
         )
     except (ValueError, TypeError):
         return None
