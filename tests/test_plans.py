@@ -595,3 +595,32 @@ class TestRound4Plans:
         plan = plan_of(q_delete_reclaim(spark, SF), "simple")
         assert plan.count("Exchange hashpartitioning") == 1  # one groupBy
         assert "Filter" in plan
+
+
+class TestSearchBm25Plan:
+    def test_zero_explode_one_stats_exchange_broadcast_back(self, spark):
+        """BM25 scoring: per-doc tf/dl are array expressions (no
+        Generate), corpus stats are ONE single-partition aggregate
+        broadcast back, scoring is an embarrassingly parallel scan."""
+        from unraveldocs_spark.queries import q_search_bm25
+
+        plan = plan_of(q_search_bm25(spark, SF), "simple")
+        assert "Generate" not in plan  # no explode
+        assert "BroadcastExchange" in plan  # 1-row stats dim
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert "CartesianProduct" not in plan
+
+
+class TestEncryptStagePlan:
+    def test_encrypt_stage_is_zero_shuffle_arrow(self, spark):
+        """Upload-side encryption must be one narrow Arrow stage — no
+        Exchange between the generator skeleton and the encrypt map."""
+        from unraveldocs_spark.extract import encrypt_stage
+        from unraveldocs_spark.generator import transcripts_spark
+
+        t = transcripts_spark(spark, 2, hot_factor=1, include_oversize=False)
+        plan = plan_of(encrypt_stage(t), "simple")
+        # the two repartitions belong to the generator skeleton; the
+        # encrypt map itself adds none
+        assert plan.count("Exchange") == plan_of(t, "simple").count("Exchange")
+        assert "MapInPandas" in plan or "mapInPandas" in plan

@@ -1087,6 +1087,162 @@ def q_search_ranked(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25-proxy relevance ranking (r4 verdict "What's missing" #4): the same
+# boosted should-query as search_ranked, but with the match clause scored
+# by BM25 — idf x saturated-tf x length-norm — instead of raw tf, closing
+# the gap to ES's actual _score (DocumentSearchRepository.java:51-66; ES
+# default similarity is BM25 with k1=1.2, b=0.75).
+#
+# Everything engine-decisive is integer-exact rational arithmetic:
+# - k1=6/5, b=3/4 as rationals, so the length norm
+#   K = k1*(1-b+b*dl/avgdl) = (3*avgdl_e2 + 900*dl) / (10*avgdl_e2)
+#   with avgdl_e2 = ROUND(100*sum_dl/N) a pre-rounded integer;
+# - the idf term is the exact-rational core of Lucene's idf argument,
+#   (N - df + 1/2)/(df + 1/2) = (2N-2df+1)/(2df+1) — the ln() wrapper is
+#   monotone and transcendental, so the proxy keeps the rational and
+#   drops the log (documented proxy, not bit-for-bit Lucene);
+# - each clause contribution is ROUND(1e6 * boost * idf * tf/(tf+K))
+#   computed as one integer floor-division (2A+B) DIV (2B) — identical
+#   half-away rounding on both engines, summed as BIGINTs.
+# Magnitude bound (sf0.1: N=2059, sum_dl=108k, tf<=9): A ~ 8e15 << 2^63;
+# a 100x corpus stays within BIGINT.  At true web scale the stats side
+# (N, df, sum_dl) is the same single tiny broadcast aggregate.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "scan", "query")  # varied df: rare / common / common
+
+
+def _eq_lit(term):
+    # closure factory: a 2-arg lambda in F.filter would bind (elem, index)
+    return lambda x: x == F.lit(term)
+
+
+def q_search_bm25(spark, sf_dir):
+    """BM25-scored multi-term should-query over analyzed tokens, plus the
+    name-field boost clauses of search_ranked (1.5 token / 1.0 wildcard,
+    as e6 integers).  Scale shape: per-doc tf/dl are pure column
+    expressions over the split-token array (zero explode, zero shuffle);
+    corpus stats (N, sum_dl, per-term df) are ONE global aggregate row
+    broadcast back — a single Exchange, then an embarrassingly parallel
+    scoring scan + TakeOrdered."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
+    stop_arr = F.array(*[F.lit(w) for w in ES_ENGLISH_STOPWORDS])
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), _SR_TOKEN_SPLIT),
+        lambda t: (t != F.lit("")) & ~F.array_contains(stop_arr, t),
+    )
+    fname = F.lower(
+        F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))
+    )
+    per_doc = d.select(
+        "doc_id",
+        fname.alias("fname"),
+        F.size(toks).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_lit(t))).cast("bigint").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).withColumn(
+        # ROUND(100*sum_dl/N) half-away as pure integer floor-division
+        "avgdl_e2",
+        F.expr("(200 * sum_dl + n_docs) DIV (2 * n_docs)"),
+    )
+    j = per_doc.join(F.broadcast(stats))
+    for i in range(len(_BM25_TERMS)):
+        # A = 2e6 * idf_num * tf_num  (boost 2.0 folded into the 2e6)
+        # B = idf_den * tf_den ; contrib_e6 = ROUND(A/B) = (2A+B) DIV 2B
+        j = j.withColumn(
+            f"c{i}",
+            F.expr(
+                f"((2 * (2000000 * (2*n_docs - 2*df{i} + 1)"
+                f"      * (tf{i} * 10 * avgdl_e2)))"
+                f" + ((2*df{i} + 1) * (10*tf{i}*avgdl_e2 + 3*avgdl_e2 + 900*dl)))"
+                f" DIV (2 * ((2*df{i} + 1)"
+                f"      * (10*tf{i}*avgdl_e2 + 3*avgdl_e2 + 900*dl)))"
+            ),
+        )
+    term_arr = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    name_token = F.arrays_overlap(F.split(F.col("fname"), "-"), term_arr).cast(
+        "bigint"
+    )
+    name_wild = (
+        sum(
+            (F.col("fname").contains(t).cast("int") for t in _BM25_TERMS),
+            F.lit(0),
+        )
+        > 0
+    ).cast("bigint")
+    score = (
+        sum((F.col(f"c{i}") for i in range(len(_BM25_TERMS))), F.lit(0).cast("bigint"))
+        + F.lit(1500000) * name_token
+        + F.lit(1000000) * name_wild
+    )
+    return (
+        j.select("doc_id", score.alias("score_e6"))
+        .filter(F.col("score_e6") > 0)
+        .orderBy(F.col("score_e6").desc(), "doc_id")
+    )
+
+
+def _bm25_sql() -> str:
+    stops = list(ES_ENGLISH_STOPWORDS)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = " + ".join(
+        f"((2 * (2000000 * (2*n_docs - 2*df{i} + 1) * (tf{i} * 10 * avgdl_e2)))"
+        f" + ((2*df{i} + 1) * (10*tf{i}*avgdl_e2 + 3*avgdl_e2 + 900*dl)))"
+        f" // (2 * ((2*df{i} + 1) * (10*tf{i}*avgdl_e2 + 3*avgdl_e2 + 900*dl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    name_wild = " OR ".join(f"fname LIKE '%{t}%'" for t in _BM25_TERMS)
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         lower(source || '-' || CAST(doc_id AS VARCHAR)) AS fname,
+         list_filter(string_split_regex(lower(text), '{_SR_TOKEN_SPLIT}'),
+                     x -> x <> '' AND NOT list_contains({stops!r}, x)) AS toks
+  FROM documents WHERE lang = '{_SR_LANG}'
+), pd AS (
+  SELECT doc_id, fname, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM d
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM pd
+), st2 AS (
+  SELECT *, (200 * sum_dl + n_docs) // (2 * n_docs) AS avgdl_e2 FROM st
+), scored AS (
+  SELECT doc_id,
+         CAST({contribs}
+           + 1500000 * CASE WHEN list_has_any(string_split(fname, '-'),
+                                              {terms_sql}) THEN 1 ELSE 0 END
+           + 1000000 * CASE WHEN {name_wild} THEN 1 ELSE 0 END
+          AS BIGINT) AS score_e6
+  FROM pd CROSS JOIN st2
+)
+SELECT doc_id, score_e6 FROM scored WHERE score_e6 > 0
+ORDER BY score_e6 DESC, doc_id
+"""
+
+
 SQL_SEARCH_RANKED = f"""
 WITH scored AS (
   SELECT doc_id,
@@ -1372,6 +1528,7 @@ FROM reqs GROUP BY user_id, is_paid ORDER BY user_id
 REGISTRY.update(
     {
         "search_ranked": {"builder": q_search_ranked, "sql": SQL_SEARCH_RANKED},
+        "search_bm25": {"builder": q_search_bm25, "sql_fn": _bm25_sql},
         "vision_metrics": {"builder": q_vision_metrics, "sql": SQL_VISION_METRICS},
         "edit_upsert": {"builder": q_edit_upsert, "sql": SQL_EDIT_UPSERT},
         "provider_resolution": {
