@@ -932,3 +932,41 @@ class TestWideBandShapeEndToEnd:
         }
         assert (1, 2) in pairs
         assert all(p == (1, 2) for p in pairs), pairs
+
+
+class TestParagraphUpperBound:
+    """dedup_paragraph sizes its band shape from the PARAGRAPH universe
+    (r4 ADVICE): the n_chars-derived upper bound, pinned at the three
+    testdata scales so the static expectations in the dynamic DuckDB
+    oracle (`pub` CTE, 8000-paragraph switch) cannot drift."""
+
+    EXPECTED = {
+        "/root/testdata/sf0.001": (5023, (4, 4)),
+        "/root/testdata/sf0.01": (4901, (4, 4)),
+        "/root/testdata/sf0.1": (48877, (2, 8)),  # widened: ub > 8000
+    }
+
+    def test_bound_and_shape_at_testdata_scales(self, spark):
+        from unraveldocs_spark.trainingdata import (
+            minhash_band_shape,
+            paragraph_upper_bound,
+        )
+
+        for sf_dir, (ub, shape) in self.EXPECTED.items():
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            got = paragraph_upper_bound(docs)
+            assert got == ub, (sf_dir, got)
+            assert minhash_band_shape(got) == shape, (sf_dir, got)
+
+    def test_bound_dominates_true_paragraph_count(self, spark):
+        from pyspark.sql import functions as F
+
+        from unraveldocs_spark.trainingdata import (
+            _paragraphs,
+            _t,
+            paragraph_upper_bound,
+        )
+
+        d = _t(spark, "/root/testdata/sf0.01", "documents")
+        n_paras = _paragraphs(d).count()
+        assert paragraph_upper_bound(d) >= n_paras

@@ -327,6 +327,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _duck_band_structs(n_bands: int, n_rows: int) -> str:
+    return ", ".join(
+        "{'band_idx': %d, 'band_key': %s}"
+        % (
+            b,
+            " || '-' || ".join(
+                f"CAST(m{b * n_rows + r} AS VARCHAR)" for r in range(n_rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+
+
 def _duck_minhash_cands_ctes(src: str) -> str:
     """CTE chain ``sh -> nz -> sigs -> bands -> cands`` computing the
     MinHash band-collision candidate pairs over any (doc_id, text) source
@@ -336,16 +349,7 @@ def _duck_minhash_cands_ctes(src: str) -> str:
         f"list_min(list_transform(hs, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P})) AS m{j}"
         for j in range(_MH_K)
     )
-    band_structs = ", ".join(
-        "{'band_idx': %d, 'band_key': %s}"
-        % (
-            b,
-            " || '-' || ".join(
-                f"CAST(m{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
-            ),
-        )
-        for b in range(_MH_BANDS)
-    )
+    band_structs = _duck_band_structs(_MH_BANDS, _MH_ROWS)
     return f"""sh AS (
   SELECT doc_id, {_DUCK_SHINGLES.format(c="text")} AS sh FROM {src}
 ), nz AS (
@@ -359,6 +363,47 @@ def _duck_minhash_cands_ctes(src: str) -> str:
 ), bands AS (
   SELECT doc_id, sh, unnest([{band_structs}], recursive := true)
   FROM sigs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def _duck_minhash_cands_ctes_sized(src: str, ub_src: str) -> str:
+    """Shape-DYNAMIC variant of :func:`_duck_minhash_cands_ctes` for the
+    paragraph-grain dedup: the ``pub`` CTE computes the same n_chars
+    paragraph upper bound as :func:`paragraph_upper_bound`, and the band
+    CTE carries BOTH possible band layouts (minhash_band_shape is binary
+    within the K=16 family: 4x4 for n <= 8000, else 2x8), each arm
+    guarded by the bound — so the oracle widens rows exactly when the
+    Spark side does, at every corpus scale, from one static SQL string."""
+    min_exprs = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P})) AS m{j}"
+        for j in range(_MH_K)
+    )
+    narrow = _duck_band_structs(4, 4)
+    wide = _duck_band_structs(2, 8)
+    return f"""pub AS (
+  SELECT CAST(SUM((((n_chars + 1) // 2) + {_PARA_WORDS - 1}) // {_PARA_WORDS})
+              AS BIGINT) AS ub
+  FROM {ub_src}
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(c="text")} AS sh FROM {src}
+), nz AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT % {_MH_P}) AS hs
+  FROM sh WHERE len(sh) > 0
+), sigs AS (
+  SELECT doc_id, sh,
+         {min_exprs}
+  FROM nz
+), bands AS (
+  SELECT doc_id, sh, unnest([{narrow}], recursive := true)
+  FROM sigs WHERE (SELECT ub FROM pub) <= 8000
+  UNION ALL
+  SELECT doc_id, sh, unnest([{wide}], recursive := true)
+  FROM sigs WHERE (SELECT ub FROM pub) > 8000
 ), cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
   FROM bands a JOIN bands b
@@ -434,6 +479,20 @@ def _paragraphs(d):
     return exploded.select("doc_id", guarded_idx.alias("para_idx"), "para")
 
 
+def paragraph_upper_bound(docs) -> int:
+    """Cheap deterministic upper bound on the paragraph count of a
+    documents frame, from the n_chars stats column only: tokens <=
+    (n_chars+1)//2 (1-char words, single separators), paragraphs =
+    ceil(tokens/_PARA_WORDS) per doc, summed.  Integer arithmetic so
+    the DuckDB oracle's `pub` CTE reproduces it bit-for-bit."""
+    row = docs.agg(
+        F.sum(
+            F.expr(f"(((n_chars + 1) DIV 2) + {_PARA_WORDS - 1}) DIV {_PARA_WORDS}")
+        ).alias("ub")
+    ).collect()[0]
+    return int(row["ub"] or 0)
+
+
 def q_dedup_paragraph(spark, sf_dir):
     """Two-stage paragraph-grain dedup: (1) EXACT — hash-groupBy on the
     paragraph digest keeps one representative per distinct paragraph and
@@ -459,15 +518,18 @@ def q_dedup_paragraph(spark, sf_dir):
         )
         .select("para_id", "n_copies", "para")
     )
-    # shape_n: the banded universe is PARAGRAPHS (~10-20x docs), but the
-    # measured log-rule absorbs a constant grain factor as one shifted
-    # 16x step; sizing off the cheap document count avoids executing the
-    # exact-dedup stage twice just to count its output
+    # shape_n: the banded universe is PARAGRAPHS (~10-20x docs), so the
+    # measured log-rule must see a paragraph count, not the raw doc
+    # count (r4 ADVICE: doc-grain sizing widened rows a grain-factor
+    # too late).  paragraph_upper_bound is a one-narrow-column scan of
+    # the n_chars stats — never the exact-dedup stage run twice.  The
+    # DuckDB oracle computes the SAME bound in its `pub` CTE and
+    # switches band arms on it, so parity holds at every scale.
     cands = _minhash_candidate_pairs(
         keepers.select(
             F.col("para_id").alias("doc_id"), _spark_shingles(F.col("para")).alias("sh")
         ).filter(F.size("sh") > 0),
-        shape_n=_t(spark, sf_dir, "documents").count(),
+        shape_n=paragraph_upper_bound(_t(spark, sf_dir, "documents")),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -516,7 +578,7 @@ WITH wtoks AS (
   FROM paras GROUP BY md5(para)
 ), kdocs AS (
   SELECT para_id AS doc_id, para AS text FROM keepers
-), {_duck_minhash_cands_ctes("kdocs")}
+), {_duck_minhash_cands_ctes_sized("kdocs", "documents")}
 SELECT doc_a // {_PARA_STRIDE} AS doc_a,
        CAST(doc_a % {_PARA_STRIDE} AS INT) AS para_a,
        ka.n_copies AS copies_a,
