@@ -439,6 +439,72 @@ def _encrypted_roundtrip_sql() -> str:
     return encrypted_roundtrip_sql(n_convs=30, hot_factor=10)
 
 
+_DOCX_STAT_COLS = (
+    "n_paragraphs", "n_runs", "n_bold", "n_italic", "n_underline",
+    "n_breaks", "n_list_items", "n_headings", "docx_digest", "docx_size",
+)
+
+
+def q_docx_export(spark, sf_dir):
+    """DOCX export over the synthetic corpus through the REAL distributed
+    path: every non-null turn payload rendered by the faithful writer
+    mirror (wordexport.docx_paragraphs — heading styles, bold/size
+    header runs, list numbering + 720-twip indents, inline
+    bold/italic/underline/br runs; DocxExportServiceImpl.java:22-170)
+    and packed into a deterministic binary .docx
+    (wordexport.docx_bytes).  Output per turn: paragraph/run/attribute
+    counts and the md5-56 digest of the .docx bytes — the writer is
+    byte-verified end to end without shipping blobs through the
+    compare.  The DuckDB oracle is the sequential pure-Python writer
+    emitted as a VALUES table (the extract_synthetic contract).
+
+    Scale shape: one zero-shuffle Arrow stage over the transcripts —
+    rendering is embarrassingly parallel, exactly how a 100-TB export
+    job runs."""
+    import pandas as pd
+
+    from .generator import transcripts_spark
+    from .wordexport import docx_stats
+
+    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+
+    def run(batches):
+        for pdf in batches:
+            out = {"conv_id": [], "turn_idx": []}
+            for c in _DOCX_STAT_COLS:
+                out[c] = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if text is None or not isinstance(text, str):
+                    continue
+                s = docx_stats(text)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                for c in _DOCX_STAT_COLS:
+                    out[c].append(s[c])
+            yield pd.DataFrame(out)
+
+    schema = (
+        "conv_id string, turn_idx int, "
+        + ", ".join(
+            f"{c} {'bigint' if c == 'docx_digest' else 'int'}"
+            for c in _DOCX_STAT_COLS
+        )
+    )
+    return (
+        t.select("conv_id", "turn_idx", "text")
+        .mapInPandas(run, schema=schema)
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _docx_export_sql() -> str:
+    from .oracle_sql_gen import docx_export_sql
+
+    return docx_export_sql(n_convs=30, hot_factor=10)
+
+
 def _simhash_sql() -> str:
     from .oracle_sql_gen import simhash_near_dupes_sql
 
@@ -482,6 +548,7 @@ ENTRY_REGISTRY: dict[str, dict] = {
     "extract_rollup": {"builder": q_extract_rollup, "sql": SQL_EXTRACT_ROLLUP},
     "extract_synthetic": {"builder": q_extract_synthetic, "sql_fn": _extract_synthetic_sql},
     "encrypted_roundtrip": {"builder": q_encrypted_roundtrip, "sql_fn": _encrypted_roundtrip_sql},
+    "docx_export": {"builder": q_docx_export, "sql_fn": _docx_export_sql},
     "simhash_near_dupes": {"builder": q_simhash_near_dupes, "sql_fn": _simhash_sql},
     "lang_id": {"builder": q_lang_id, "sql": _lang_id_sql()},
     "pdf_layout": {"builder": q_pdf_layout, "sql": SQL_PDF_LAYOUT},

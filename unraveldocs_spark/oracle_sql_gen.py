@@ -364,6 +364,47 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def docx_export_sql(n_convs: int = 30, hot_factor: int = 10) -> str:
+    """Sequential pure-Python oracle for the DOCX export query
+    (entry_queries.q_docx_export): run the faithful writer mirror
+    (wordexport.docx_stats) over every non-null turn payload of the same
+    deterministic corpus and emit the per-turn counts + binary digest as
+    a VALUES table."""
+    from .generator import conv_name, conv_sizes, make_turn
+    from .wordexport import docx_stats
+
+    cols = (
+        "n_paragraphs", "n_runs", "n_bold", "n_italic", "n_underline",
+        "n_breaks", "n_list_items", "n_headings", "docx_digest", "docx_size",
+    )
+    rows = []
+    for c, size in enumerate(conv_sizes(n_convs, 18, hot_factor)):
+        cid = conv_name(c)
+        for t in range(size):
+            _role, text, _tool = make_turn(c, t, include_oversize=False)
+            if text is None:
+                continue
+            s = docx_stats(text)
+            rows.append(
+                "(" + ", ".join(
+                    [_sql_str(cid), str(t)] + [str(s[k]) for k in cols]
+                ) + ")"
+            )
+    values = ",\n".join(rows)
+    int_casts = ",\n       ".join(
+        f"CAST({k} AS {'BIGINT' if k == 'docx_digest' else 'INT'}) AS {k}"
+        for k in cols
+    )
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       {int_casts}
+FROM (VALUES
+{values}
+) AS t(conv_id, turn_idx, {', '.join(cols)})
+ORDER BY conv_id, turn_idx
+"""
+
+
 def extract_synthetic_sql(
     n_convs: int = 30, hot_factor: int = 10, include_oversize: bool = False
 ) -> str:
