@@ -128,6 +128,9 @@ HEADLINE_QUERIES = (
     "ai_enrich",
     "delete_reclaim",
     "exact_substring_dedup",
+    "search_bm25",
+    "encrypted_roundtrip",
+    "docx_export",
 )
 
 

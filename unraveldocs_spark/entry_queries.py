@@ -382,11 +382,6 @@ def _extract_synthetic_sql() -> str:
     return extract_synthetic_sql(n_convs=30, hot_factor=10, include_oversize=False)
 
 
-_MD5_56 = lambda col: F.conv(  # noqa: E731 — md5-56 digest convention
-    F.substring(F.md5(col.cast("binary")), 1, 14), 16, 10
-).cast("bigint")
-
-
 def q_encrypted_roundtrip(spark, sf_dir):
     """AES-256-GCM encrypt -> store -> decrypt -> extract roundtrip over
     the synthetic fixture corpus: a deterministic ~60% of turns is
@@ -400,34 +395,83 @@ def q_encrypted_roundtrip(spark, sf_dir):
     ``match_plain`` flag comparing it against the extraction of the
     UN-encrypted corpus — 1 everywhere iff the roundtrip is lossless.
 
-    Scale shape: encrypt and extract are both zero-shuffle Arrow stages;
-    the two verification joins key on (conv_id, turn_idx) and exist only
-    for the digest comparison (production never retains the plaintext
-    side)."""
-    from .extract import encrypt_stage
+    Scale shape: ONE zero-shuffle Arrow stage — each worker encrypts the
+    turn, extracts the ciphertext envelope through the shared dispatch
+    (which decrypts), extracts the plaintext, and emits the two digests
+    side by side; no join, no second pipeline traversal (production
+    never retains the plaintext side — the fused compare exists only
+    for verification).  The composable ``encrypt_stage``/
+    ``extract_stage`` production stages are plan- and parity-tested
+    separately (tests/test_crypto.py, tests/test_plans.py)."""
+    import hashlib
+
+    import pandas as pd
+
+    from .crypto import encrypt_turn
     from .generator import transcripts_spark
+    from .oracle import extract_turn
 
     t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
-    enc_t = encrypt_stage(t)
-    flags = enc_t.select("conv_id", "turn_idx", "is_encrypted", "iv_b64")
-    enc_x = extract_stage(salted_repartition(enc_t, 16)).select(
-        "conv_id", "turn_idx", "status", "rule", "error_message",
-        _MD5_56(F.col("extracted_text")).alias("text_digest"),
-    )
-    plain_x = extract_stage(salted_repartition(t, 16)).select(
-        "conv_id", "turn_idx",
-        _MD5_56(F.col("extracted_text")).alias("plain_digest"),
-    )
+
+    def _dg(s):
+        if s is None:
+            return None
+        return int(
+            hashlib.md5(s.encode("utf-8", errors="surrogatepass")).hexdigest()[:14],
+            16,
+        )
+
+    def run(batches):
+        cols = (
+            "conv_id", "turn_idx", "is_encrypted", "iv_b64", "status",
+            "rule", "error_message", "text_digest", "match_plain",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for conv_id, turn_idx, role, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["role"],
+                pdf["text"], pdf["tool"],
+            ):
+                if text is not None and not isinstance(text, str):
+                    text = None if text != text else str(text)
+                if tool is not None and not isinstance(tool, str):
+                    tool = None if tool != tool else str(tool)
+                turn_idx = int(turn_idx)
+                enc_text, is_enc, iv_b64 = encrypt_turn(conv_id, turn_idx, text)
+                r_enc = extract_turn(role, tool, enc_text)
+                r_plain = extract_turn(role, tool, text)
+                dg, dg_plain = _dg(r_enc.extracted_text), _dg(r_plain.extracted_text)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["is_encrypted"].append(is_enc)
+                out["iv_b64"].append(iv_b64)
+                out["status"].append(r_enc.status)
+                out["rule"].append(r_enc.rule)
+                out["error_message"].append(r_enc.error_message)
+                out["text_digest"].append(dg)
+                out["match_plain"].append(int(dg == dg_plain))
+            yield pd.DataFrame(
+                {
+                    **out,
+                    "turn_idx": pd.array(out["turn_idx"], dtype="int32"),
+                    "is_encrypted": pd.array(out["is_encrypted"], dtype="int32"),
+                    # nullable Int64 (not object/float64): a 56-bit digest
+                    # exceeds float64's 53-bit mantissa, so any float
+                    # round-trip silently corrupts the low bits
+                    "text_digest": pd.array(out["text_digest"], dtype="Int64"),
+                    "match_plain": pd.array(out["match_plain"], dtype="int32"),
+                }
+            )
+
     return (
-        enc_x.join(flags, ["conv_id", "turn_idx"])
-        .join(plain_x, ["conv_id", "turn_idx"])
-        .select(
-            "conv_id", "turn_idx", "is_encrypted", "iv_b64",
-            "status", "rule", "error_message", "text_digest",
-            F.col("text_digest")
-            .eqNullSafe(F.col("plain_digest"))
-            .cast("int")
-            .alias("match_plain"),
+        t.select("conv_id", "turn_idx", "role", "text", "tool")
+        .mapInPandas(
+            run,
+            schema=(
+                "conv_id string, turn_idx int, is_encrypted int, "
+                "iv_b64 string, status string, rule string, "
+                "error_message string, text_digest bigint, match_plain int"
+            ),
         )
         .orderBy("conv_id", "turn_idx")
     )
@@ -483,6 +527,9 @@ def q_docx_export(spark, sf_dir):
                 out["turn_idx"].append(int(turn_idx))
                 for c in _DOCX_STAT_COLS:
                     out[c].append(s[c])
+            # 56-bit digests must never pass through float64 (53-bit
+            # mantissa) — pin the dtype instead of trusting inference
+            out["docx_digest"] = pd.array(out["docx_digest"], dtype="Int64")
             yield pd.DataFrame(out)
 
     schema = (
