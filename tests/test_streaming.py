@@ -472,3 +472,47 @@ def test_quota_enforcer_matches_batch_ranking(spark, tmp_path):
     assert len(got) == n
     assert got == expect
     assert any(not a for _, a in got.values()), "need some DENIED rows"
+
+
+def test_stream_extracts_encrypted_payloads(spark, tmp_path):
+    """Encrypted uploads flow through the SAME streaming extraction path
+    with no special casing: the micro-batch extract stage's shared
+    dispatch decrypts each {kind:encrypted} envelope before routing
+    (oracle.extract_turn step 2.5), so the committed results equal the
+    plaintext corpus's extraction per turn — the async-upload analog of
+    the reference's decrypt-at-fetch (DocumentUploadImpl.java:55-63)."""
+    import pytest
+
+    from unraveldocs_spark import crypto
+    from unraveldocs_spark import oracle as O
+    from unraveldocs_spark.extract import encrypt_stage
+
+    if not crypto.HAVE_AESGCM:
+        pytest.skip("cryptography not installed")
+
+    pdf = G.transcripts_pandas(5, hot_factor=2, include_oversize=False)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    enc = encrypt_stage(sdf)
+    assert enc.filter("is_encrypted = 1").count() > 0
+    input_dir = str(tmp_path / "in")
+    # the stream reads the TRANSCRIPTS schema: store the encrypted text,
+    # drop the upload-side metadata columns
+    enc.select(*[f.name for f in TRANSCRIPTS_SCHEMA.fields]).repartition(
+        4
+    ).write.parquet(input_dir)
+
+    store = DirCheckpointStore(str(tmp_path / "store"))
+    q = stream_extract(
+        spark, input_dir, store, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = {(r.conv_id, r.turn_idx): r for r in store.results(spark).collect()}
+    rows = list(zip(pdf.conv_id, pdf.turn_idx, pdf.role, pdf.text, pdf.tool))
+    expected = O.oracle_rows(rows)  # oracle over the PLAINTEXT corpus
+    assert len(got) == len(expected)
+    for e in expected:
+        r = got[(e["conv_id"], e["turn_idx"])]
+        assert r.extracted_text == e["extracted_text"]
+        assert r.status == e["status"]
+        assert r.rule == e["rule"]

@@ -3888,6 +3888,79 @@ ORDER BY drift DESC, token LIMIT {_DRIFT_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting — the first iteration of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016), the op a tokenizer-training
+# pipeline runs over the whole corpus before any merges exist.
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 30
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Adjacent-symbol pair counts for the first BPE merge, computed the
+    way tokenizer training actually scales: ONE pass builds the
+    word-frequency table (vocabulary ≪ corpus tokens), then all pair
+    enumeration runs over DISTINCT words weighted by their frequency —
+    the corpus text is never re-scanned per pair.  Output: the top-K
+    candidate merges (left symbol, right symbol, weighted count), count
+    desc with a deterministic (left, right) tie-break.
+
+    Scale shape: Exchange 1 groups the token explode into word
+    frequencies; Exchange 2 groups the per-word character bigrams
+    (explode bounded by Σ|word| over the VOCABULARY, not the corpus);
+    the top-K folds driver-side via TakeOrdered.  At 100 TB the
+    vocabulary table is millions of rows while the corpus is trillions
+    of tokens — this shape is why BPE training is feasible at all."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.filter(F.col("text").isNotNull())
+    words = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.struct(
+                F.col("w").substr(i, F.lit(1)).alias("left_sym"),
+                F.col("w").substr(i + 1, F.lit(1)).alias("right_sym"),
+            ),
+        )
+    )
+    return (
+        words.select("freq", pair.alias("p"))
+        .select("freq", "p.left_sym", "p.right_sym")
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(_BPE_TOPK)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+), words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE w <> '' AND length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+         substr(w, CAST(i AS INT) + 1, 1) AS right_sym,
+         freq
+  FROM words, UNNEST(range(1, length(w))) AS u(i)
+)
+SELECT left_sym, right_sym,
+       CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT {_BPE_TOPK}
+"""
+
+
 TRAINING_REGISTRY.update(
     {
         "stratified_split": {
@@ -3905,6 +3978,7 @@ TRAINING_REGISTRY.update(
             ),
         },
         "vocab_drift": {"builder": q_vocab_drift, "sql": SQL_VOCAB_DRIFT},
+        "bpe_pair_counts": {"builder": q_bpe_pair_counts, "sql": SQL_BPE_PAIR_COUNTS},
     }
 )
 
