@@ -970,3 +970,32 @@ class TestParagraphUpperBound:
         d = _t(spark, "/root/testdata/sf0.01", "documents")
         n_paras = _paragraphs(d).count()
         assert paragraph_upper_bound(d) >= n_paras
+
+
+class TestBpeMerges:
+    """bpe_merges (Sennrich et al. 2016 loop) semantics pins — shared by
+    the Spark driver fold and the DuckDB VALUES oracle."""
+
+    def test_overlapping_pairs_counted_and_rewrite_is_left_to_right(self):
+        from unraveldocs_spark.trainingdata import bpe_merges
+
+        # 'aaa' contributes (a,a) twice per occurrence; after merging
+        # (a,a) the rewrite is left-to-right non-overlapping: (aa, a)
+        m = bpe_merges({"aaa": 3}, 2)
+        assert m[0] == ("a", "a", 6)
+        assert m[1] == ("aa", "a", 3)
+
+    def test_tie_break_is_lexicographically_smallest(self):
+        from unraveldocs_spark.trainingdata import bpe_merges
+
+        # 'ba' and 'ab' each count 1 — tie resolves to ('a','b')
+        m = bpe_merges({"ab": 1, "ba": 1}, 1)
+        assert m[0] == ("a", "b", 1)
+
+    def test_freq_weighting_and_termination(self):
+        from unraveldocs_spark.trainingdata import bpe_merges
+
+        m = bpe_merges({"xy": 5, "zw": 2}, 10)
+        assert m[0] == ("x", "y", 5)
+        assert m[1] == ("z", "w", 2)
+        assert len(m) == 2  # loop stops when no pairs remain

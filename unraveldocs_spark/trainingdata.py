@@ -3961,8 +3961,131 @@ ORDER BY pair_count DESC, left_sym, right_sym LIMIT {_BPE_TOPK}
 """
 
 
+_BPE_LEARN_MERGES = 12
+_BPE_VOCAB_CAP = 4096  # driver fold bound: top-V words by (freq, word)
+
+
+def bpe_merges(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Classic BPE merge loop (Sennrich et al. 2016) over a word-frequency
+    table: repeatedly count adjacent symbol pairs (weighted by word
+    freq, overlapping occurrences counted), merge the max-count pair
+    (ties -> lexicographically smallest), rewrite left-to-right
+    non-overlapping.  Pure Python and deterministic — the SAME function
+    runs on the Spark driver over the distributed word count and inside
+    the DuckDB VALUES-oracle generator, so the merge table is
+    engine-exact by construction."""
+    seqs: dict[str, tuple[str, ...]] = {w: tuple(w) for w in word_freqs}
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, freq in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        c, left, right = min(
+            (-c, l, r) for (l, r), c in counts.items()
+        )
+        c = -c
+        out.append((left, right, c))
+        merged = left + right
+        for w, s in seqs.items():
+            if left not in s:
+                continue
+            ns: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = tuple(ns)
+    return out
+
+
+def q_bpe_learn(spark, sf_dir):
+    """Full iterated BPE tokenizer training over the synthetic corpus —
+    the production shape: ONE distributed pass builds the
+    word-frequency table (the only corpus-scale step), a bounded
+    TakeOrdered folds the top-V vocabulary to the driver, and the merge
+    loop runs there over vocab only — exactly how real BPE trainers
+    (subword-nmt, HF tokenizers) operate, because merge iteration
+    touches the VOCABULARY, never the corpus.  Output: the learned
+    merge table (step, left, right, merged symbol, weighted count).
+
+    Scale shape: corpus cost is one explode + one groupBy Exchange; the
+    driver fold is capped at _BPE_VOCAB_CAP rows by (freq desc, word) —
+    a TakeOrdered, not an unbounded collect.  At 100 TB the vocab cap is
+    the standard trainer knob (HF ``vocab_size``/``limit_alphabet``
+    analog)."""
+    from .generator import transcripts_spark
+
+    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    words = (
+        t.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = words.orderBy(F.col("freq").desc(), "w").limit(_BPE_VOCAB_CAP).collect()
+    merges = bpe_merges({r["w"]: int(r["freq"]) for r in top}, _BPE_LEARN_MERGES)
+    rows = [
+        (i, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step int, left_sym string, right_sym string, merged string, pair_count bigint",
+    ).orderBy("step")
+
+
+def _bpe_learn_sql() -> str:
+    """VALUES oracle: the same merge loop over the same corpus counted
+    sequentially in pure Python (pandas generator path — no Spark)."""
+    import re as _re
+
+    from .generator import transcripts_pandas
+
+    pdf = transcripts_pandas(30, hot_factor=10, include_oversize=False)
+    freqs: dict[str, int] = {}
+    split = _re.compile(r"\s+")
+    for text in pdf["text"]:
+        if text is None:
+            continue
+        for w in split.split(text.lower()):
+            if w and len(w) >= 2:
+                freqs[w] = freqs.get(w, 0) + 1
+    top = dict(
+        sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_VOCAB_CAP]
+    )
+    merges = bpe_merges(top, _BPE_LEARN_MERGES)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n".join(
+        f"({i}, {q(l)}, {q(r)}, {q(l + r)}, {c})"
+        for i, (l, r, c) in enumerate(merges)
+    )
+    return f"""
+SELECT CAST(step AS INT) AS step, left_sym, right_sym, merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES
+{values}
+) AS t(step, left_sym, right_sym, merged, pair_count)
+ORDER BY step
+"""
+
+
 TRAINING_REGISTRY.update(
     {
+        "bpe_learn": {"builder": q_bpe_learn, "sql_fn": _bpe_learn_sql},
         "stratified_split": {
             "builder": q_stratified_split,
             "sql_fn": lambda: SQL_STRATIFIED_SPLIT.format(
