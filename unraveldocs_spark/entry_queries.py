@@ -552,6 +552,88 @@ def _docx_export_sql() -> str:
     return docx_export_sql(n_convs=30, hot_factor=10)
 
 
+def q_encrypted_export(spark, sf_dir):
+    """Encrypted-at-rest export sink: per-conversation payload assembly
+    (turn-ordered "role: text" lines, JVM-side — the conversation_pack
+    assembly) followed by AES-256-GCM shard encryption with a
+    conversation-derived IV, emitting the export manifest a consumer
+    needs: sizes, the plaintext digest (integrity), the ciphertext
+    digest (what's actually stored), the IV, and a decrypt-roundtrip
+    verdict.  The at-rest encryption story of crypto.py applied to the
+    corpus SINK (the reference encrypts stored uploads; a training-data
+    export encrypts stored shards the same way).
+
+    Scale shape: one conv_id Exchange for the assembly groupBy, then a
+    zero-shuffle Arrow stage for the cipher work — per-shard crypto is
+    embarrassingly parallel."""
+    import base64
+    import hashlib
+
+    import pandas as pd
+
+    from .crypto import FIXTURE_MASTER_KEY, decrypt_bytes, derive_iv, encrypt_bytes
+    from .generator import transcripts_spark
+
+    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    line = F.concat_ws(": ", "role", "text")
+    assembled = (
+        t.filter(F.col("text").isNotNull())
+        .select("conv_id", "turn_idx", line.alias("line"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("payload"),
+        )
+    )
+
+    def run(batches):
+        cols = ("conv_id", "n_turns", "pt_bytes", "pt_digest",
+                "iv_b64", "ct_digest", "roundtrip_ok")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for conv_id, n_turns, payload in zip(
+                pdf["conv_id"], pdf["n_turns"], pdf["payload"]
+            ):
+                pt = payload.encode("utf-8", errors="surrogatepass")
+                iv = derive_iv("shard:" + conv_id, 0)
+                ct = encrypt_bytes(FIXTURE_MASTER_KEY, iv, pt)
+                out["conv_id"].append(conv_id)
+                out["n_turns"].append(int(n_turns))
+                out["pt_bytes"].append(len(pt))
+                out["pt_digest"].append(int(hashlib.md5(pt).hexdigest()[:14], 16))
+                out["iv_b64"].append(base64.b64encode(iv).decode("ascii"))
+                out["ct_digest"].append(int(hashlib.md5(ct).hexdigest()[:14], 16))
+                out["roundtrip_ok"].append(
+                    int(decrypt_bytes(FIXTURE_MASTER_KEY, iv, ct) == pt)
+                )
+            out["pt_digest"] = pd.array(out["pt_digest"], dtype="Int64")
+            out["ct_digest"] = pd.array(out["ct_digest"], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return (
+        assembled.mapInPandas(
+            run,
+            schema=(
+                "conv_id string, n_turns int, pt_bytes int, pt_digest bigint, "
+                "iv_b64 string, ct_digest bigint, roundtrip_ok int"
+            ),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def _encrypted_export_sql() -> str:
+    from .oracle_sql_gen import encrypted_export_sql
+
+    return encrypted_export_sql(n_convs=30, hot_factor=10)
+
+
 def _simhash_sql() -> str:
     from .oracle_sql_gen import simhash_near_dupes_sql
 
@@ -596,6 +678,7 @@ ENTRY_REGISTRY: dict[str, dict] = {
     "extract_synthetic": {"builder": q_extract_synthetic, "sql_fn": _extract_synthetic_sql},
     "encrypted_roundtrip": {"builder": q_encrypted_roundtrip, "sql_fn": _encrypted_roundtrip_sql},
     "docx_export": {"builder": q_docx_export, "sql_fn": _docx_export_sql},
+    "encrypted_export": {"builder": q_encrypted_export, "sql_fn": _encrypted_export_sql},
     "simhash_near_dupes": {"builder": q_simhash_near_dupes, "sql_fn": _simhash_sql},
     "lang_id": {"builder": q_lang_id, "sql": _lang_id_sql()},
     "pdf_layout": {"builder": q_pdf_layout, "sql": SQL_PDF_LAYOUT},

@@ -364,6 +364,59 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def encrypted_export_sql(n_convs: int = 30, hot_factor: int = 10) -> str:
+    """Sequential oracle for the encrypted export sink
+    (entry_queries.q_encrypted_export): assemble each conversation's
+    turn-ordered "role: text" payload, encrypt with the same fixture
+    key + shard-derived IV, and emit the manifest as a VALUES table."""
+    import base64
+    import hashlib
+
+    from .crypto import FIXTURE_MASTER_KEY, decrypt_bytes, derive_iv, encrypt_bytes
+    from .generator import conv_name, conv_sizes, make_turn
+
+    rows = []
+    for c, size in enumerate(conv_sizes(n_convs, 18, hot_factor)):
+        cid = conv_name(c)
+        lines = []
+        for t in range(size):
+            role, text, _tool = make_turn(c, t, include_oversize=False)
+            if text is None:
+                continue
+            lines.append(f"{role}: {text}")
+        if not lines:
+            continue
+        pt = "\n".join(lines).encode("utf-8", errors="surrogatepass")
+        iv = derive_iv("shard:" + cid, 0)
+        ct = encrypt_bytes(FIXTURE_MASTER_KEY, iv, pt)
+        ok = int(decrypt_bytes(FIXTURE_MASTER_KEY, iv, ct) == pt)
+        rows.append(
+            "(" + ", ".join(
+                (
+                    _sql_str(cid),
+                    str(len(lines)),
+                    str(len(pt)),
+                    str(int(hashlib.md5(pt).hexdigest()[:14], 16)),
+                    _sql_str(base64.b64encode(iv).decode("ascii")),
+                    str(int(hashlib.md5(ct).hexdigest()[:14], 16)),
+                    str(ok),
+                )
+            ) + ")"
+        )
+    values = ",\n".join(rows)
+    return f"""
+SELECT conv_id, CAST(n_turns AS INT) AS n_turns,
+       CAST(pt_bytes AS INT) AS pt_bytes,
+       CAST(pt_digest AS BIGINT) AS pt_digest, iv_b64,
+       CAST(ct_digest AS BIGINT) AS ct_digest,
+       CAST(roundtrip_ok AS INT) AS roundtrip_ok
+FROM (VALUES
+{values}
+) AS t(conv_id, n_turns, pt_bytes, pt_digest, iv_b64, ct_digest, roundtrip_ok)
+ORDER BY conv_id
+"""
+
+
 def docx_export_sql(n_convs: int = 30, hot_factor: int = 10) -> str:
     """Sequential pure-Python oracle for the DOCX export query
     (entry_queries.q_docx_export): run the faithful writer mirror
