@@ -105,7 +105,9 @@ def q_extract_synthetic(spark, sf_dir):
     per-turn text equality, driver-visible."""
     from .generator import transcripts_spark
 
-    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    t = transcripts_spark(
+        spark, 30, hot_factor=10, include_oversize=False, parallelism=8
+    )
     spans_str = F.array_join(
         F.transform(
             F.col("spans"),
@@ -411,7 +413,9 @@ def q_encrypted_roundtrip(spark, sf_dir):
     from .generator import transcripts_spark
     from .oracle import extract_turn
 
-    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    t = transcripts_spark(
+        spark, 30, hot_factor=10, include_oversize=False, parallelism=8
+    )
 
     def _dg(s):
         if s is None:
@@ -510,7 +514,9 @@ def q_docx_export(spark, sf_dir):
     from .generator import transcripts_spark
     from .wordexport import docx_stats
 
-    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    t = transcripts_spark(
+        spark, 30, hot_factor=10, include_oversize=False, parallelism=8
+    )
 
     def run(batches):
         for pdf in batches:
@@ -574,7 +580,9 @@ def q_encrypted_export(spark, sf_dir):
     from .crypto import FIXTURE_MASTER_KEY, decrypt_bytes, derive_iv, encrypt_bytes
     from .generator import transcripts_spark
 
-    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    t = transcripts_spark(
+        spark, 30, hot_factor=10, include_oversize=False, parallelism=8
+    )
     line = F.concat_ws(": ", "role", "text")
     assembled = (
         t.filter(F.col("text").isNotNull())

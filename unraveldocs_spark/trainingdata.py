@@ -4026,7 +4026,9 @@ def q_bpe_learn(spark, sf_dir):
     analog)."""
     from .generator import transcripts_spark
 
-    t = transcripts_spark(spark, 30, hot_factor=10, include_oversize=False)
+    t = transcripts_spark(
+        spark, 30, hot_factor=10, include_oversize=False, parallelism=8
+    )
     words = (
         t.filter(F.col("text").isNotNull())
         .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
