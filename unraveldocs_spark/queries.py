@@ -1243,6 +1243,143 @@ ORDER BY score_e6 DESC, doc_id
 """
 
 
+def q_search_bm25f(spark, sf_dir):
+    """Multi-field BM25 (BM25F-lite): the should-query scored as the sum
+    of per-field BM25 contributions — the analyzed text field at boost
+    2.0 and the '-'-tokenized name field at boost 1.5 — each field with
+    its OWN tf/dl/df/avgdl statistics, which is how ES actually scores a
+    multi_match best-of-fields query (DocumentSearchRepository.java:51-66
+    with per-field boosts).  Same integer-exact rational machinery as
+    search_bm25: exact-rational idf core, pre-rounded avgdl_e2, each
+    contribution one integer floor-division, boosts folded into the e6
+    numerator (2e6 text / 1.5e6 name).
+
+    Scale shape: identical to search_bm25 — zero explode, one global
+    stats aggregate broadcast back, embarrassingly parallel scoring."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
+    stop_arr = F.array(*[F.lit(w) for w in ES_ENGLISH_STOPWORDS])
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), _SR_TOKEN_SPLIT),
+        lambda t: (t != F.lit("")) & ~F.array_contains(stop_arr, t),
+    )
+    ntoks = F.filter(
+        F.split(
+            F.lower(
+                F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))
+            ),
+            "-",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    fields = {"t": toks, "n": ntoks}
+    cols = ["doc_id"]
+    for fk, arr in fields.items():
+        cols.append(F.size(arr).cast("bigint").alias(f"dl_{fk}"))
+        cols.extend(
+            F.size(F.filter(arr, _eq_lit(term))).cast("bigint").alias(f"tf{i}_{fk}")
+            for i, term in enumerate(_BM25_TERMS)
+        )
+    per_doc = d.select(*cols)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for fk in fields:
+        aggs.append(F.sum(f"dl_{fk}").alias(f"sum_dl_{fk}"))
+        aggs.extend(
+            F.sum((F.col(f"tf{i}_{fk}") > 0).cast("bigint")).alias(f"df{i}_{fk}")
+            for i in range(len(_BM25_TERMS))
+        )
+    stats = per_doc.agg(*aggs)
+    for fk in fields:
+        stats = stats.withColumn(
+            f"avgdl_{fk}",
+            F.expr(f"(200 * sum_dl_{fk} + n_docs) DIV (2 * n_docs)"),
+        )
+    j = per_doc.join(F.broadcast(stats))
+    boosts = {"t": 2_000_000, "n": 1_500_000}
+    contribs = []
+    for fk in fields:
+        for i in range(len(_BM25_TERMS)):
+            den = (
+                f"((2*df{i}_{fk} + 1) * (10*tf{i}_{fk}*avgdl_{fk}"
+                f" + 3*avgdl_{fk} + 900*dl_{fk}))"
+            )
+            contribs.append(
+                f"((2 * ({boosts[fk]} * (2*n_docs - 2*df{i}_{fk} + 1)"
+                f" * (tf{i}_{fk} * 10 * avgdl_{fk})) + {den})"
+                f" DIV (2 * {den}))"
+            )
+    score = F.expr(" + ".join(contribs))
+    return (
+        j.select("doc_id", score.alias("score_e6"))
+        .filter(F.col("score_e6") > 0)
+        .orderBy(F.col("score_e6").desc(), "doc_id")
+    )
+
+
+def _bm25f_sql() -> str:
+    stops = list(ES_ENGLISH_STOPWORDS)
+    fields = {
+        "t": (
+            "list_filter(string_split_regex(lower(text), "
+            f"'{_SR_TOKEN_SPLIT}'), x -> x <> '' AND NOT "
+            f"list_contains({stops!r}, x))"
+        ),
+        "n": (
+            "list_filter(string_split(lower(source || '-' || "
+            "CAST(doc_id AS VARCHAR)), '-'), x -> x <> '')"
+        ),
+    }
+    boosts = {"t": 2_000_000, "n": 1_500_000}
+    pd_cols, st_cols, av_cols, contribs = [], [], [], []
+    for fk, arr in fields.items():
+        pd_cols.append(f"CAST(len({arr}) AS BIGINT) AS dl_{fk}")
+        st_cols.append(f"CAST(SUM(dl_{fk}) AS BIGINT) AS sum_dl_{fk}")
+        av_cols.append(
+            f"(200 * sum_dl_{fk} + n_docs) // (2 * n_docs) AS avgdl_{fk}"
+        )
+        for i, term in enumerate(_BM25_TERMS):
+            pd_cols.append(
+                f"CAST(len(list_filter({arr}, x -> x = '{term}')) AS BIGINT)"
+                f" AS tf{i}_{fk}"
+            )
+            st_cols.append(
+                f"CAST(SUM(CASE WHEN tf{i}_{fk} > 0 THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS df{i}_{fk}"
+            )
+            den = (
+                f"((2*df{i}_{fk} + 1) * (10*tf{i}_{fk}*avgdl_{fk}"
+                f" + 3*avgdl_{fk} + 900*dl_{fk}))"
+            )
+            contribs.append(
+                f"((2 * ({boosts[fk]} * (2*n_docs - 2*df{i}_{fk} + 1)"
+                f" * (tf{i}_{fk} * 10 * avgdl_{fk})) + {den})"
+                f" // (2 * {den}))"
+            )
+    sep = ",\n         "
+    pd_sql, st_sql, av_sql = sep.join(pd_cols), sep.join(st_cols), sep.join(av_cols)
+    score_sql = " + ".join(contribs)
+    return f"""
+WITH pd AS (
+  SELECT doc_id,
+         {pd_sql}
+  FROM documents WHERE lang = '{_SR_LANG}'
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         {st_sql}
+  FROM pd
+), st2 AS (
+  SELECT *,
+         {av_sql}
+  FROM st
+), scored AS (
+  SELECT doc_id,
+         CAST({score_sql} AS BIGINT) AS score_e6
+  FROM pd CROSS JOIN st2
+)
+SELECT doc_id, score_e6 FROM scored WHERE score_e6 > 0
+ORDER BY score_e6 DESC, doc_id
+"""
+
+
 SQL_SEARCH_RANKED = f"""
 WITH scored AS (
   SELECT doc_id,
@@ -1529,6 +1666,7 @@ REGISTRY.update(
     {
         "search_ranked": {"builder": q_search_ranked, "sql": SQL_SEARCH_RANKED},
         "search_bm25": {"builder": q_search_bm25, "sql_fn": _bm25_sql},
+        "search_bm25f": {"builder": q_search_bm25f, "sql_fn": _bm25f_sql},
         "vision_metrics": {"builder": q_vision_metrics, "sql": SQL_VISION_METRICS},
         "edit_upsert": {"builder": q_edit_upsert, "sql": SQL_EDIT_UPSERT},
         "provider_resolution": {
