@@ -611,6 +611,22 @@ class TestSearchBm25Plan:
         assert "CartesianProduct" not in plan
 
 
+class TestSearchBm25EmptyCorpus:
+    def test_zero_lang_matches_degrades_to_zero_rows(self, spark, tmp_path):
+        """Empty-corpus contract: when the lang filter matches no
+        documents, the stats row is dropped before the avgdl division
+        (n_docs=0 would raise divide-by-zero under ANSI) and both BM25
+        variants return zero rows instead of erroring."""
+        from unraveldocs_spark.queries import q_search_bm25, q_search_bm25f
+
+        spark.createDataFrame(
+            [(1, "table scan", "zh", "src0", 10), (2, "query dup", "fr", "src1", 9)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        assert q_search_bm25(spark, str(tmp_path)).count() == 0
+        assert q_search_bm25f(spark, str(tmp_path)).count() == 0
+
+
 class TestEncryptStagePlan:
     def test_encrypt_stage_is_zero_shuffle_arrow(self, spark):
         """Upload-side encryption must be one narrow Arrow stage — no

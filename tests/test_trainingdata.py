@@ -999,3 +999,23 @@ class TestBpeMerges:
         assert m[0] == ("x", "y", 5)
         assert m[1] == ("z", "w", 2)
         assert len(m) == 2  # loop stops when no pairs remain
+
+    def test_oracle_tokenizer_uses_java_ascii_whitespace(self):
+        """The bpe_learn oracle splits with the Java-regex ASCII class
+        [ \\t\\n\\x0B\\f\\r]+ — NOT Python's Unicode-aware \\s — so a
+        word containing NBSP stays ONE token on both engines (Spark's
+        Java \\s+ does not split on NBSP either).  Pins the r2
+        whitespace invariant on the bpe_learn parity path."""
+        from unraveldocs_spark.semantics import _JAVA_RE_WS_SPLIT
+
+        text = "foo bar bazqux\x0bend"
+        toks = [t for t in _JAVA_RE_WS_SPLIT.split(text) if t]
+        # NBSP (U+00A0) and NEL (U+0085) do NOT split; \x0B does
+        assert toks == ["foo bar", "bazqux", "end"]
+        # and the oracle module actually uses that splitter
+        import inspect
+
+        from unraveldocs_spark.trainingdata import _bpe_learn_sql
+
+        src = inspect.getsource(_bpe_learn_sql)
+        assert "_JAVA_RE_WS_SPLIT" in src and 're.compile(r"\\s' not in src

@@ -51,11 +51,21 @@ class TestParagraphPlan:
         ]
 
     def test_plain_text_preserves_empty_lines(self):
-        # Java splits on \r?\n and emits a paragraph per element — an
-        # empty line becomes an empty docx paragraph (no trim).
+        # Java splits on \r?\n with limit 0 (DocxExportServiceImpl.java:28):
+        # interior empty lines become empty paragraphs (no trim), but
+        # TRAILING empty strings are dropped — 'a\r\n\r\nb\n' is exactly
+        # ['a', '', 'b'], never a fourth trailing paragraph.
         paras = docx_paragraphs("a\r\n\r\nb\n")
-        assert [p.runs[0].text for p in paras] == ["a", "", "b", ""]
+        assert [p.runs[0].text for p in paras] == ["a", "", "b"]
         assert all(p.style is None and p.num_id is None for p in paras)
+
+    def test_plain_text_drops_trailing_newlines_like_java_split(self):
+        # Java: "x\n\n\n".split("\r?\n") == ["x"]; "".split(...) == [""]
+        # (no match on empty input); "\n\n".split(...) == [] (every token
+        # empty, all trailing empties dropped).
+        assert [p.runs[0].text for p in docx_paragraphs("x\n\n\n")] == ["x"]
+        assert [p.runs[0].text for p in docx_paragraphs("")] == [""]
+        assert docx_paragraphs("\n\n") == []
 
     def test_unknown_container_recurses_unknown_leaf_falls_back(self):
         paras = docx_paragraphs("<p></p><div><p>in</p></div><footer>leaf</footer>")

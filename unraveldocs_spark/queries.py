@@ -1151,6 +1151,11 @@ def q_search_bm25(spark, sf_dir):
             F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
             for i in range(len(_BM25_TERMS))
         ],
+    ).filter(
+        # empty-corpus contract: if the lang filter matches zero docs the
+        # stats row is dropped (n_docs=0 would divide-by-zero under ANSI)
+        # and the inner broadcast join degrades the query to zero rows
+        F.col("n_docs") > 0
     ).withColumn(
         # ROUND(100*sum_dl/N) half-away as pure integer floor-division
         "avgdl_e2",
@@ -1229,6 +1234,7 @@ WITH d AS (
   FROM pd
 ), st2 AS (
   SELECT *, (200 * sum_dl + n_docs) // (2 * n_docs) AS avgdl_e2 FROM st
+  WHERE n_docs > 0
 ), scored AS (
   SELECT doc_id,
          CAST({contribs}
@@ -1287,7 +1293,10 @@ def q_search_bm25f(spark, sf_dir):
             F.sum((F.col(f"tf{i}_{fk}") > 0).cast("bigint")).alias(f"df{i}_{fk}")
             for i in range(len(_BM25_TERMS))
         )
-    stats = per_doc.agg(*aggs)
+    # empty-corpus contract (same as search_bm25): drop the stats row
+    # before the avgdl divisions so n_docs=0 yields zero rows, not an
+    # ANSI divide-by-zero
+    stats = per_doc.agg(*aggs).filter(F.col("n_docs") > 0)
     for fk in fields:
         stats = stats.withColumn(
             f"avgdl_{fk}",
@@ -1370,6 +1379,7 @@ WITH pd AS (
   SELECT *,
          {av_sql}
   FROM st
+  WHERE n_docs > 0
 ), scored AS (
   SELECT doc_id,
          CAST({score_sql} AS BIGINT) AS score_e6

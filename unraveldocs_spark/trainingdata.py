@@ -4049,14 +4049,19 @@ def q_bpe_learn(spark, sf_dir):
 
 def _bpe_learn_sql() -> str:
     """VALUES oracle: the same merge loop over the same corpus counted
-    sequentially in pure Python (pandas generator path — no Spark)."""
-    import re as _re
+    sequentially in pure Python (pandas generator path — no Spark).
 
+    Tokenization MUST match the Spark side's Java-regex ``\\s+`` (ASCII
+    only: no NBSP/NEL/ideographic space) — Python re ``\\s`` is
+    Unicode-aware and would silently diverge the word-frequency table on
+    the first non-ASCII whitespace (the r2 whitespace invariant), so both
+    sides split on ``semantics._JAVA_RE_WS_SPLIT``."""
     from .generator import transcripts_pandas
+    from .semantics import _JAVA_RE_WS_SPLIT
 
     pdf = transcripts_pandas(30, hot_factor=10, include_oversize=False)
     freqs: dict[str, int] = {}
-    split = _re.compile(r"\s+")
+    split = _JAVA_RE_WS_SPLIT
     for text in pdf["text"]:
         if text is None:
             continue

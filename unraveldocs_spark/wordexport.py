@@ -141,9 +141,18 @@ def docx_paragraphs(text: str) -> list[Paragraph]:
         for el in body.child_elements():
             _process_element(el, out)
         return out
-    return [
-        Paragraph(runs=[Run(text=line)]) for line in _PLAIN_SPLIT_RE.split(text)
-    ]
+    # Java's text.split("\r?\n") (DocxExportServiceImpl.java:28) uses
+    # limit 0, which DROPS trailing empty strings — 'x\n\n\n' is ONE
+    # paragraph, not four, and '\n\n' is ZERO paragraphs.  Python
+    # re.split keeps them, so pop the tail.  The one Java special case:
+    # ''.split(...) returns [''] (no match occurs), i.e. a single empty
+    # paragraph for empty input.
+    if text == "":
+        return [Paragraph(runs=[Run(text="")])]
+    parts = _PLAIN_SPLIT_RE.split(text)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return [Paragraph(runs=[Run(text=line)]) for line in parts]
 
 
 # ---------------------------------------------------------------------------
