@@ -33,65 +33,65 @@ from unraveldocs_spark.trainingdata import TRAINING_REGISTRY  # noqa: E402
 # The round driver records CORRECTNESS rows for (at most) the FIRST 50
 # queries in iteration order: CORRECTNESS_r02.json contains exactly the
 # first 50 of the 58 registered queries, in registry order, and no others.
-# To make every query driver-verified across rounds, iterate queries that
-# have never had a green driver row FIRST (new queries land here
-# automatically), then the already-verified rest in stable registry order.
-# The union of per-round artifacts then covers the whole registry.
-_DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset(
-    {
-        # union of green rows (rows+schema+hash, no err) across
-        # CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 at commit fe85d5a — 111 of
-        # the 113 registered queries; the two r4 failures
-        # (moving_window_stats, vocab_drift — uncast DuckDB SUM →
-        # HUGEINT → float64 driver canon) stay OUT so their round-5
-        # oracle CAST fixes iterate in the front block with every new
-        # r5 query and get a driver row.
-        "ai_enrich", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
-        "ann_topk", "anti_join_resume", "array_mean_confidence",
-        "asof_last_error", "broadcast_star_join", "classify_parse",
-        "collection_rollup", "contamination_check", "conversation_pack",
-        "corpus_build_full", "corpus_export_shards",
-        "corpus_mix_weights", "corpus_percentiles", "corpus_prep",
-        "corpus_sample", "daily_active_users", "daily_quota",
-        "dedup_cluster", "dedup_cluster_star", "dedup_embedding_cosine",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_paragraph", "delete_reclaim", "deterministic_shuffle",
-        "distinct_count", "doc_fingerprint", "doc_length_histogram",
-        "dq_checks", "edit_upsert", "embed_quantize", "encrypted_stats",
-        "error_type_sanitize", "event_type_pivot",
-        "exact_substring_dedup", "explode_unnest", "extract_rollup",
-        "extract_synthetic", "extract_turns", "fence_strip",
-        "filename_rewrite", "frame_sample", "funnel_conversion",
-        "fuzzy_search", "group_stats", "group_stats_cube",
-        "hourly_gapfill", "in_list_lookup", "knn_join",
-        "lang_confusion", "lang_id", "lang_stopword_ratio",
-        "left_join_pending_default", "line_dedup", "log_sanitize",
-        "multimodal_decode", "multimodal_features", "multimodal_meta",
-        "multimodal_resize", "paginate_offset",
-        "pdf_extension_predicate", "pdf_layout", "pii_redact",
-        "pricing_summary", "props_extract", "provider_resolution",
-        "quality_buckets", "quality_gopher", "quality_perplexity",
-        "quality_repetition", "quality_score", "range_join_bucketed",
-        "regional_revenue", "search_filter", "search_ranked",
-        "semantic_dedup", "semi_join_exists", "session_bounce_rate",
-        "sessionize", "shard_manifest", "shipping_priority",
-        "simhash_near_dupes", "soft_delete_filter",
-        "split_leakage_check", "status_transitions", "stratified_split",
-        "tag_split", "text_normalize", "text_preview", "tfidf_topk",
-        "time_window_counts", "token_budget_sample", "token_count",
-        "tokenize_pack", "topk_docs_per_lang", "topn_recent",
-        "truncate_text", "turn_window", "union_shards",
-        "upload_validation", "user_retention", "user_value_quartiles",
-        "vision_metrics", "vocab_topk", "winnow_fingerprints",
-        "word_char_counts",
-    }
-)
+# Iteration order therefore decides what gets (re-)verified each round:
+# 1. queries with NO green driver row ever (new queries land here
+#    automatically) iterate first, in registry order;
+# 2. the rest iterate by LEAST-RECENTLY-driver-verified (r6 rotation:
+#    before this, ~70 early-landing queries kept their single green row
+#    forever while the driver re-checked the same early-registry cohort
+#    every round), ties in registry order.
+# The per-round artifacts then union to full coverage AND stale greens
+# rotate back through the driver as code evolves.
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """query -> latest round whose in-repo CORRECTNESS_r*.json records a
+    green row (rows+schema+hash match, no err).  Hash-less rows-only
+    records do not count as green."""
+    import glob
+    import json
+    import re
+
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+_LAST_GREEN_ROUND = _last_green_rounds()
+_DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset(_LAST_GREEN_ROUND)
 
 
 def _ordered(merged: dict) -> dict:
-    front = {k: v for k, v in merged.items() if k not in _DRIVER_VERIFIED_PRIOR_ROUNDS}
-    back = {k: v for k, v in merged.items() if k in _DRIVER_VERIFIED_PRIOR_ROUNDS}
-    return {**front, **back}
+    names = list(merged)
+    order = {k: i for i, k in enumerate(names)}
+    ranked = sorted(
+        names,
+        key=lambda k: (
+            _LAST_GREEN_ROUND.get(k, 0),  # never-green (0) first
+            order[k],
+        ),
+    )
+    return {k: merged[k] for k in ranked}
 
 
 _ALL = _ordered({**REGISTRY, **TRAINING_REGISTRY, **ENTRY_REGISTRY})

@@ -131,6 +131,9 @@ HEADLINE_QUERIES = (
     "search_bm25",
     "encrypted_roundtrip",
     "docx_export",
+    "storage_admission",
+    "dashboard_kpi",
+    "search_phrase",
 )
 
 
@@ -208,6 +211,16 @@ def main():
         total += sec
         print(f"[bench] {name}: {sec:.1f}s", file=sys.stderr)
 
+    # positional-noise guard (VERDICT r5 #7): any query regressed >1.5x vs
+    # the previous round's artifact gets re-timed isolated best-of-3 in
+    # this same session, and the verdict ships inline in the artifact
+    from tools.bench_recheck import previous_bench, recheck_regressions
+
+    prev_name, prev = previous_bench(REPO)
+    recheck = recheck_regressions(spark, SF_DIR, qfns, per_query, prev)
+    for name, r in recheck.items():
+        print(f"[bench] recheck {name}: {r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -219,6 +232,8 @@ def main():
                 "n_turns": n_turns,
                 "turns_per_sec": round(n_turns / extract_sec, 1),
                 "parallelism": CPUS,
+                "recheck_vs": prev_name,
+                "recheck": recheck,
             }
         )
     )

@@ -611,6 +611,153 @@ class TestSearchBm25Plan:
         assert "CartesianProduct" not in plan
 
 
+class TestStorageAdmissionPlan:
+    def test_broadcast_dim_single_owner_window_exchange(self, spark):
+        """The user->team->plan dim must broadcast (no shuffle on the
+        event scan for the join); the only hash Exchange is the per-owner
+        admission window."""
+        from unraveldocs_spark.queries import q_storage_admission
+
+        plan = plan_of(q_storage_admission(spark, SF), "simple")
+        assert "BroadcastExchange" in plan
+        assert plan.count("Exchange hashpartitioning") == 1  # owner window
+        assert "CartesianProduct" not in plan
+
+
+class TestDashboardKpiPlan:
+    def test_one_scan_per_entity_no_explode(self, spark):
+        """Customer feeds the conditional-sum battery once; events feed
+        the per-user activity aggregate once (+ its 1-row global max);
+        no Generate, no cartesian fact-fact product."""
+        from unraveldocs_spark.queries import q_dashboard_kpi
+
+        plan = plan_of(q_dashboard_kpi(spark, SF), "simple")
+        assert "Generate" not in plan
+        assert plan.count("customer.parquet") == 1
+        assert "CartesianProduct" not in plan
+
+
+class TestSearchPhrasePlan:
+    def test_zero_explode_zero_shuffle_scan(self, spark):
+        """Phrase counting is pure array expressions — no Generate and no
+        hash Exchange; only the presentation sort partitions."""
+        from unraveldocs_spark.queries import q_search_phrase
+
+        plan = plan_of(q_search_phrase(spark, SF), "simple")
+        assert "Generate" not in plan
+        assert plan.count("Exchange hashpartitioning") == 0
+
+
+class TestStorageAdmissionLadder:
+    def test_team_first_resolution_and_verdicts(self, spark, tmp_path):
+        """Pins the StorageAllocationService.java:50-110 ladder on a
+        constructed fixture: no subscription -> NO_SUBSCRIPTION; a
+        TEAM-sourced subscription with an access-allowed team charges the
+        SHARED team pool (two members drain it together); a TEAM-sourced
+        subscription whose team is blocked falls back to the INDIVIDUAL
+        ladder (java:357-365); a NULL storage limit admits unlimited
+        (java:78-80); and required > available rejects with the
+        exception's (required, available, limit) fields.  The batch
+        replay charges each request against base_used plus ALL prior
+        requests on the pool, in (ts, event_id) order."""
+        from unraveldocs_spark.queries import q_storage_admission
+
+        custs = [
+            (0, "no-sub"),  # 0 % 11 == 0 -> NO_SUBSCRIPTION
+            (9, "team"),  # TEAM source, team 9 allowed, limit 500000
+            (129, "team"),  # second member of team 9 (129 % 40 == 9)
+            (15, "blocked-team"),  # team 15 blocked -> individual tier 3
+            (1, "individual"),  # tier 1 -> limit 400000, used 37
+        ]
+        spark.createDataFrame(
+            [(k, f"c{k}", 0, 0.0, m) for k, m in custs],
+            "c_custkey bigint, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+        from datetime import datetime
+
+        base = "2024-01-01 00:00:0"
+        events = [
+            (1, f"{base}1", 0, 100.0),  # no-sub user
+            (2, f"{base}2", 9, 2000.0),  # team:9, 200000 bytes
+            (3, f"{base}3", 129, 2000.0),  # team:9, sees member 9's bytes
+            (4, f"{base}4", 9, 2000.0),  # team:9, over the shared pool
+            (5, f"{base}5", 15, 9999.0),  # blocked team -> user:15 unlimited
+            (6, f"{base}6", 1, 5000.0),  # user:1, 500000 > 400000-37
+        ]
+        spark.createDataFrame(
+            [
+                (i, datetime.fromisoformat(ts), u, "upload", v, "{}")
+                for i, ts, u, v in events
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+        rows = {
+            r["event_id"]: r
+            for r in q_storage_admission(spark, str(tmp_path)).collect()
+        }
+        assert rows[1]["verdict"] == "NO_SUBSCRIPTION"
+        # team 9: limit 500000, base_used = 9*911 % 300000 = 8199
+        assert rows[2]["owner_key"] == "team:9"
+        assert rows[3]["owner_key"] == "team:9"  # team-first for member 129
+        assert rows[2]["available_bytes"] == 500000 - 8199
+        assert rows[2]["verdict"] == "ADMIT"
+        # member 129's request sees member 9's 200000 already charged
+        assert rows[3]["available_bytes"] == 500000 - 8199 - 200000
+        assert rows[3]["verdict"] == "ADMIT"
+        # third request: 200000 > 500000 - 8199 - 400000
+        assert rows[4]["available_bytes"] == 500000 - 8199 - 400000
+        assert rows[4]["verdict"] == "REJECT"
+        # blocked team falls back to the individual ladder: tier 15%4==3
+        # has a NULL storage limit -> unlimited admit on the USER pool
+        assert rows[5]["owner_key"] == "user:15"
+        assert rows[5]["storage_limit"] is None
+        assert rows[5]["verdict"] == "UNLIMITED_ADMIT"
+        # individual reject carries the exception triple
+        assert rows[6]["owner_key"] == "user:1"
+        assert rows[6]["storage_limit"] == 400000
+        assert rows[6]["required_bytes"] == 500000
+        assert rows[6]["available_bytes"] == 400000 - 37
+        assert rows[6]["verdict"] == "REJECT"
+
+
+class TestSearchPhraseSemantics:
+    def test_adjacency_slop_and_analyzer(self, spark, tmp_path):
+        """match_phrase pins: exact adjacency counts overlapping
+        occurrences, slop-1 requires EXACTLY one intervening token,
+        reversed order never matches, punctuation splits like the
+        standard analyzer, and stopwords stay position-significant."""
+        from unraveldocs_spark.queries import q_search_phrase
+
+        docs = [
+            (1, "table scan table scan", "en"),  # 2 exact
+            (2, "table x scan", "en"),  # 1 slop-1
+            (3, "table x y scan", "en"),  # too far
+            (4, "scan table", "en"),  # reversed
+            (5, "table-scan!", "en"),  # punctuation splits -> exact
+            (6, "table the scan", "en"),  # stopword intervenes -> slop-1
+            (7, "table scan", "zh"),  # lang filter drops
+            (8, "table", "en"),  # tail lookahead is NULL-safe
+        ]
+        spark.createDataFrame(
+            [(i, t, l, "src0", len(t)) for i, t, l in docs],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_phrase"], r["n_slop1"], r["score_e2"])
+            for r in q_search_phrase(spark, str(tmp_path)).collect()
+        }
+        assert got == {
+            1: (2, 0, 200),
+            2: (0, 1, 50),
+            5: (1, 0, 100),
+            6: (0, 1, 50),
+        }
+
+
 class TestSearchBm25EmptyCorpus:
     def test_zero_lang_matches_degrades_to_zero_rows(self, spark, tmp_path):
         """Empty-corpus contract: when the lang filter matches no

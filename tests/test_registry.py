@@ -49,3 +49,25 @@ def test_unverified_queries_iterate_first():
             )
     # the prior-round set must only name queries that still exist
     assert verified <= set(names), verified - set(names)
+
+
+def test_back_block_rotates_by_least_recently_verified():
+    """r6 rotation: already-green queries iterate in non-decreasing
+    last-green-round order (derived from the in-repo CORRECTNESS_r*.json
+    union), so stale greens cycle back through the driver's 50-query
+    window as code evolves instead of the same early-registry cohort
+    being re-verified every round."""
+    names = list(entry_mod.queries())
+    last = entry_mod._LAST_GREEN_ROUND
+    rounds = [last.get(n, 0) for n in names]
+    assert rounds == sorted(rounds), "iteration order not least-recently-verified"
+    # the union artifact data must actually be loaded (r1..r5 exist)
+    assert last, "no CORRECTNESS artifacts parsed"
+    assert max(last.values()) >= 5
+    # the oldest-verified cohort (last green in r2: extract_turns,
+    # extract_synthetic, the r2 dedup/ann family) must land inside the
+    # driver's 50-row window this round
+    first50 = set(names[:50])
+    for q in ("extract_turns", "extract_synthetic", "dedup_exact", "ann_topk"):
+        assert last[q] == 2, f"{q} expected last-green r2, got {last[q]}"
+        assert q in first50, f"{q} rotated out of the driver window"

@@ -1,0 +1,128 @@
+"""Positional-noise guard for the suite bench (r6, VERDICT #7).
+
+The suite bench cost two rounds of false alarms (r4 extract_transcripts,
+r5 props_extract / ai_enrich / sessionize — all judge-re-measured as
+neighbor/positional noise on the shared box).  This module makes the
+verdict part of the artifact itself: any query whose suite time regressed
+more than ``FACTOR``x against the previous round's BENCH_r0N.json is
+immediately re-timed isolated best-of-``REPS`` (the EXTRACT_RECHECK.md
+protocol) in the same session, and the per-query verdict ships inline in
+the bench JSON under ``"recheck"``.
+
+Standalone use (re-times explicit names at the bench sf):
+
+    python tools/bench_recheck.py props_extract sessionize
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+
+FACTOR = 1.5
+REPS = 3
+
+
+def previous_bench(repo: str) -> tuple[str | None, dict[str, float]]:
+    """(filename, per-query seconds) of the newest BENCH_r*.json."""
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, path)
+    if best is None:
+        return None, {}
+    try:
+        with open(best[1]) as fh:
+            data = json.load(fh)
+        # the round driver wraps bench.py's JSON line under "parsed"
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        queries = data.get("queries", {})
+        if isinstance(queries, dict):
+            return os.path.basename(best[1]), {
+                k: float(v) for k, v in queries.items()
+            }
+    except (OSError, ValueError):
+        pass
+    return os.path.basename(best[1]), {}
+
+
+def _best_of(fn, reps: int) -> float:
+    sec = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        sec = min(sec, time.monotonic() - t0)
+    return sec
+
+
+def recheck_regressions(
+    spark,
+    sf_dir: str,
+    qfns: dict,
+    per_query: dict[str, float],
+    prev: dict[str, float],
+    factor: float = FACTOR,
+    reps: int = REPS,
+) -> dict[str, dict]:
+    """Re-time every query whose suite number regressed > factor x vs the
+    previous round, isolated best-of-reps, and return per-query verdicts:
+    'noise' (isolated time back under factor x prev) or 'regressed'."""
+    out: dict[str, dict] = {}
+    for name, sec in per_query.items():
+        base = prev.get(name)
+        if base is None or base <= 0 or sec <= factor * base:
+            continue
+        if name not in qfns:  # e.g. extract_transcripts (pipeline stage)
+            out[name] = {
+                "suite": round(sec, 3),
+                "prev": round(base, 3),
+                "verdict": "no-isolated-retimer",
+            }
+            continue
+        best = _best_of(lambda: qfns[name](spark, sf_dir).collect(), reps)
+        out[name] = {
+            "suite": round(sec, 3),
+            "prev": round(base, 3),
+            "best_isolated": round(best, 3),
+            "verdict": "noise" if best <= factor * base else "regressed",
+        }
+    return out
+
+
+def main() -> None:
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry_mod
+    from unraveldocs_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    names = sys.argv[1:]
+    spark = build_session(
+        "bench-recheck", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qfns = entry_mod.queries()
+    _, prev = previous_bench(repo)
+    report = {}
+    for name in names:
+        best = _best_of(lambda: qfns[name](spark, sf_dir).collect(), REPS)
+        report[name] = {
+            "best_isolated": round(best, 3),
+            "prev": prev.get(name),
+        }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2035,3 +2035,406 @@ REGISTRY.update(
         "ai_enrich": {"builder": q_ai_enrich, "sql": SQL_AI_ENRICH},
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Storage-quota admission (StorageAllocationService.java:50-110,
+# resolveEffectiveTeamContext 355-366, StorageQuotaExceededException fields)
+# ---------------------------------------------------------------------------
+# Deterministic subscription/team dim derived from customer keys (shared
+# with dashboard_kpi — keep the two in sync):
+#   has_sub          c % 11 != 0        (findByUserId empty -> NO_SUBSCRIPTION)
+#   sub from TEAM    has_sub AND c % 3 == 0   (SubscriptionSource.TEAM)
+#   team_id          c % 40
+#   team allowed     team_id % 5 != 0   (team.isAccessAllowed; else fall back
+#                                        to the INDIVIDUAL ladder, java:357-365)
+#   individual plan  tier = c % 4; tier 3 -> NULL limit (unlimited, java:78-80)
+#                    else (tier+1)*200000; storageUsed = (c*37) % 100000
+#   team plan        team_id % 6 == 0 -> NULL limit (Enterprise, java:100-103)
+#                    else ((team_id % 3)+1)*500000; used = (team_id*911) % 300000
+
+
+def q_storage_admission(spark, sf_dir):
+    """Upload-side storage admission: every upload request (events; bytes
+    = the ROUND(value*100) money idiom) resolves its storage OWNER with
+    the reference's team-first ladder — a TEAM-sourced subscription whose
+    team still grants access charges the TEAM pool, anything else the
+    individual pool (StorageAllocationService.java:50-58) — then the
+    batch replay of ``storageUsed + required > limit`` admits or rejects
+    each request against the pool's base usage plus the bytes of all
+    PRIOR requests on that pool, emitting the exception's
+    (requiredBytes, availableStorage, storageLimit) triple.
+
+    Scale shape: the user->team->plan dim is customer-derived and
+    broadcast, so the event scan never shuffles for the join; the ONE
+    Exchange is the per-owner admission window, keyed by owner pool —
+    team pools are the natural hot keys and would be salted upstream
+    exactly like the conv_id extraction pipeline."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    team_id = (ck % 40).cast("bigint")
+    has_sub = ck % 11 != 0
+    team_ctx = has_sub & (ck % 3 == 0) & (team_id % 5 != 0)
+    tier = ck % 4
+    ind_limit = F.when(tier == 3, F.lit(None).cast("bigint")).otherwise(
+        ((tier + 1) * 200000).cast("bigint")
+    )
+    team_limit = F.when(team_id % 6 == 0, F.lit(None).cast("bigint")).otherwise(
+        (((team_id % 3) + 1) * 500000).cast("bigint")
+    )
+    dim = c.select(
+        ck.alias("user_id"),
+        has_sub.alias("has_sub"),
+        F.when(team_ctx, F.concat(F.lit("team:"), team_id.cast("string")))
+        .otherwise(F.concat(F.lit("user:"), ck.cast("string")))
+        .alias("owner_key"),
+        F.when(team_ctx, team_limit).otherwise(ind_limit).alias("storage_limit"),
+        F.when(team_ctx, (team_id * 911) % 300000)
+        .otherwise((ck * 37) % 100000)
+        .cast("bigint")
+        .alias("base_used"),
+    )
+    req = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("required_bytes"),
+    ).join(F.broadcast(dim), "user_id")
+    w = (
+        Window.partitionBy("owner_key")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("required_bytes").over(w), F.lit(0).cast("bigint"))
+    avail = F.col("storage_limit") - F.col("base_used") - prior
+    verdict = (
+        F.when(~F.col("has_sub"), F.lit("NO_SUBSCRIPTION"))
+        .when(F.col("storage_limit").isNull(), F.lit("UNLIMITED_ADMIT"))
+        .when(F.col("required_bytes") > avail, F.lit("REJECT"))
+        .otherwise(F.lit("ADMIT"))
+    )
+    return (
+        req.select(
+            "event_id",
+            "user_id",
+            "owner_key",
+            "required_bytes",
+            F.col("storage_limit"),
+            avail.alias("available_bytes"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_STORAGE_ADMISSION = """
+WITH dim AS (
+  SELECT c_custkey AS user_id,
+         c_custkey % 11 <> 0 AS has_sub,
+         CASE WHEN c_custkey % 11 <> 0 AND c_custkey % 3 = 0
+                   AND (c_custkey % 40) % 5 <> 0
+              THEN 'team:' || CAST(c_custkey % 40 AS VARCHAR)
+              ELSE 'user:' || CAST(c_custkey AS VARCHAR) END AS owner_key,
+         CASE WHEN c_custkey % 11 <> 0 AND c_custkey % 3 = 0
+                   AND (c_custkey % 40) % 5 <> 0
+              THEN CASE WHEN (c_custkey % 40) % 6 = 0 THEN NULL
+                        ELSE (((c_custkey % 40) % 3) + 1) * 500000 END
+              ELSE CASE WHEN c_custkey % 4 = 3 THEN NULL
+                        ELSE ((c_custkey % 4) + 1) * 200000 END
+         END AS storage_limit,
+         CASE WHEN c_custkey % 11 <> 0 AND c_custkey % 3 = 0
+                   AND (c_custkey % 40) % 5 <> 0
+              THEN ((c_custkey % 40) * 911) % 300000
+              ELSE (c_custkey * 37) % 100000 END AS base_used
+  FROM customer
+), req AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS required_bytes,
+         d.has_sub, d.owner_key,
+         CAST(d.storage_limit AS BIGINT) AS storage_limit,
+         CAST(d.base_used AS BIGINT) AS base_used
+  FROM events e JOIN dim d ON e.user_id = d.user_id
+), scanned AS (
+  SELECT event_id, user_id, owner_key, required_bytes, storage_limit,
+         has_sub,
+         CAST(storage_limit - base_used
+           - COALESCE(SUM(required_bytes) OVER (
+               PARTITION BY owner_key ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS available_bytes
+  FROM req
+)
+SELECT event_id, user_id, owner_key, required_bytes, storage_limit,
+       available_bytes,
+       CASE WHEN NOT has_sub THEN 'NO_SUBSCRIPTION'
+            WHEN storage_limit IS NULL THEN 'UNLIMITED_ADMIT'
+            WHEN required_bytes > available_bytes THEN 'REJECT'
+            ELSE 'ADMIT' END AS verdict
+FROM scanned ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dashboard KPI one-scan battery (DashboardMetricsCacheService.java:30-127)
+# ---------------------------------------------------------------------------
+# User/subscription flags derived from customer keys (the subscription
+# fields has_sub / status / plan / storage_used stay consistent with
+# q_storage_admission's dim):
+#   deleted     c % 13 == 0     (deletedAt IS NULL filter on user KPIs)
+#   is_active   c % 2 == 0      is_verified  c % 3 != 0
+#   blocked     c % 17 == 0     (LoginAttemptsRepository.countByIsBlockedTrue
+#                                — deliberately NOT deletedAt-filtered,
+#                                mirroring java:44)
+#   status      c % 5 -> ACTIVE/TRIAL/CANCELLED/EXPIRED/PENDING
+#   plan        c % 4 -> FREE/BASIC/PRO/ENTERPRISE
+# createdAt/lastLogin analogs come from the event stream (min/max ts per
+# user); "now" is the corpus max ts, so every window is deterministic.
+
+_KPI_STATUSES = ("ACTIVE", "TRIAL", "CANCELLED", "EXPIRED", "PENDING")
+_KPI_PLANS = ("FREE", "BASIC", "PRO", "ENTERPRISE")
+
+
+def q_dashboard_kpi(spark, sf_dir):
+    """All ~20 dashboard KPI counts in ONE pass per entity table: the
+    user ladder (total/active/verified/unverified), creation and
+    last-login windows (today / 7d / 30d, strict After per the repository
+    methods), blocked count, the usersByPlan / usersByStatus maps
+    flattened to per-bucket conditional sums (driver-hostile map columns
+    are banned), subscription status counts, total storage and the
+    reference's asymmetric averageStorageUsed = totalStorage /
+    totalUsers (storage summed over SUBSCRIPTIONS, divided by non-deleted
+    USERS — java:64-66), emitted as an e2 integer.
+
+    Scale shape: customer is scanned once into the conditional-sum
+    battery; events are scanned once into a per-user (min, max) ts
+    aggregate whose 1-row global max ("now") broadcasts back; the final
+    rollup is a single-row aggregate — partial map-side sums everywhere,
+    no wide shuffle at any size."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    activity = e.groupBy(F.col("user_id")).agg(
+        F.min("ts").alias("created_ts"), F.max("ts").alias("last_login")
+    )
+    now_df = activity.agg(F.max("last_login").alias("now_ts"))
+    ck = F.col("c_custkey")
+    u = c.select(
+        ck.alias("user_id"),
+        (ck % 13 == 0).alias("deleted"),
+        (ck % 2 == 0).alias("is_active"),
+        (ck % 3 != 0).alias("is_verified"),
+        (ck % 17 == 0).alias("blocked"),
+        (ck % 11 != 0).alias("has_sub"),
+        (ck % 5).cast("int").alias("status_k"),
+        (ck % 4).cast("int").alias("plan_k"),
+        ((ck * 37) % 100000).cast("bigint").alias("storage_used"),
+    )
+    j = (
+        u.join(activity, "user_id", "left")
+        .crossJoin(F.broadcast(now_df))
+        .withColumn("start_today", F.date_trunc("day", F.col("now_ts")))
+        .withColumn("start_week", F.expr("now_ts - INTERVAL 7 DAY"))
+        .withColumn("start_month", F.expr("now_ts - INTERVAL 30 DAY"))
+    )
+    live = ~F.col("deleted")
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    aggs = [
+        n(live).alias("total_users"),
+        n(live & F.col("is_active") & F.col("is_verified")).alias("active_users"),
+        n(live & F.col("is_verified")).alias("verified_users"),
+        n(live & ~F.col("is_verified")).alias("unverified_users"),
+        n(F.col("blocked")).alias("blocked_users"),
+        n(live & (F.col("created_ts") > F.col("start_today"))).alias(
+            "new_users_today"
+        ),
+        n(live & (F.col("created_ts") > F.col("start_week"))).alias(
+            "new_users_week"
+        ),
+        n(live & (F.col("created_ts") > F.col("start_month"))).alias(
+            "new_users_month"
+        ),
+        n(live & (F.col("last_login") > F.col("start_today"))).alias("dau"),
+        n(live & (F.col("last_login") > F.col("start_week"))).alias("wau"),
+        n(live & (F.col("last_login") > F.col("start_month"))).alias("mau"),
+    ]
+    aggs += [
+        n(F.col("has_sub") & (F.col("status_k") == k)).alias(
+            f"subs_{s.lower()}"
+        )
+        for k, s in enumerate(_KPI_STATUSES)
+    ]
+    aggs += [
+        n(F.col("has_sub") & (F.col("plan_k") == k)).alias(
+            f"users_plan_{p.lower()}"
+        )
+        for k, p in enumerate(_KPI_PLANS)
+    ]
+    aggs += [
+        F.sum(F.when(F.col("has_sub"), F.col("storage_used")).otherwise(0))
+        .cast("bigint")
+        .alias("total_storage_used"),
+    ]
+    out = j.agg(*aggs)
+    # averageStorageUsed (java:66): totalStorage / totalUsers, e2 integer
+    # via half-away floor-division; zero-user corpora emit NULL
+    return out.withColumn(
+        "avg_storage_e2",
+        F.when(
+            F.col("total_users") > 0,
+            F.expr(
+                "(200 * total_storage_used + total_users)"
+                " DIV (2 * total_users)"
+            ),
+        ).cast("bigint"),
+    )
+
+
+def _kpi_sql() -> str:
+    subs = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN has_sub AND status_k = {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS subs_{s.lower()}"
+        for k, s in enumerate(_KPI_STATUSES)
+    )
+    plans = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN has_sub AND plan_k = {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS users_plan_{p.lower()}"
+        for k, p in enumerate(_KPI_PLANS)
+    )
+    return f"""
+WITH activity AS (
+  SELECT user_id, MIN(ts) AS created_ts, MAX(ts) AS last_login
+  FROM events GROUP BY user_id
+), now_row AS (
+  SELECT MAX(last_login) AS now_ts FROM activity
+), u AS (
+  SELECT c_custkey AS user_id,
+         c_custkey % 13 = 0 AS deleted,
+         c_custkey % 2 = 0 AS is_active,
+         c_custkey % 3 <> 0 AS is_verified,
+         c_custkey % 17 = 0 AS blocked,
+         c_custkey % 11 <> 0 AS has_sub,
+         CAST(c_custkey % 5 AS INT) AS status_k,
+         CAST(c_custkey % 4 AS INT) AS plan_k,
+         CAST((c_custkey * 37) % 100000 AS BIGINT) AS storage_used
+  FROM customer
+), j AS (
+  SELECT u.*, a.created_ts, a.last_login, n.now_ts,
+         date_trunc('day', n.now_ts) AS start_today,
+         n.now_ts - INTERVAL 7 DAY AS start_week,
+         n.now_ts - INTERVAL 30 DAY AS start_month
+  FROM u LEFT JOIN activity a ON u.user_id = a.user_id CROSS JOIN now_row n
+), agg AS (
+SELECT CAST(SUM(CASE WHEN NOT deleted THEN 1 ELSE 0 END) AS BIGINT) AS total_users,
+       CAST(SUM(CASE WHEN NOT deleted AND is_active AND is_verified THEN 1 ELSE 0 END) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN NOT deleted AND is_verified THEN 1 ELSE 0 END) AS BIGINT) AS verified_users,
+       CAST(SUM(CASE WHEN NOT deleted AND NOT is_verified THEN 1 ELSE 0 END) AS BIGINT) AS unverified_users,
+       CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS blocked_users,
+       CAST(SUM(CASE WHEN NOT deleted AND created_ts > start_today THEN 1 ELSE 0 END) AS BIGINT) AS new_users_today,
+       CAST(SUM(CASE WHEN NOT deleted AND created_ts > start_week THEN 1 ELSE 0 END) AS BIGINT) AS new_users_week,
+       CAST(SUM(CASE WHEN NOT deleted AND created_ts > start_month THEN 1 ELSE 0 END) AS BIGINT) AS new_users_month,
+       CAST(SUM(CASE WHEN NOT deleted AND last_login > start_today THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+       CAST(SUM(CASE WHEN NOT deleted AND last_login > start_week THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+       CAST(SUM(CASE WHEN NOT deleted AND last_login > start_month THEN 1 ELSE 0 END) AS BIGINT) AS mau,
+       {subs},
+       {plans},
+       CAST(SUM(CASE WHEN has_sub THEN storage_used ELSE 0 END) AS BIGINT) AS total_storage_used
+FROM j
+)
+SELECT *,
+       CASE WHEN total_users > 0
+            THEN CAST((200 * total_storage_used + total_users)
+                      // (2 * total_users) AS BIGINT)
+            ELSE NULL END AS avg_storage_e2
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Phrase / proximity match (DocumentSearchRepository.java match family —
+# the ES match_phrase clause, deterministically integer-scored)
+# ---------------------------------------------------------------------------
+
+_PHRASE_W1, _PHRASE_W2 = "table", "scan"
+
+
+def q_search_phrase(spark, sf_dir):
+    """ES ``match_phrase`` over the analyzed text field: standard-analyzer
+    tokens (lowercase, punctuation split, NO stop filter — phrase
+    adjacency is position-sensitive, and the ES standard analyzer keeps
+    stopwords), counting exact-adjacency occurrences of the two-term
+    phrase plus a slop-1 proximity variant (one intervening token), with
+    the integer score 100*exact + 50*slop1.
+
+    Scale shape: token positions never explode — both counts are pure
+    array expressions (transform over the token array with
+    ``try_element_at`` lookahead, NULL-safe at the array tail), so the
+    whole query is one embarrassingly parallel scan plus the
+    presentation sort; the lang filter pushes to the parquet scan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), _SR_TOKEN_SPLIT),
+        lambda t: t != F.lit(""),
+    )
+    d2 = d.select("doc_id", toks.alias("toks"))
+    # transform's 0-based index i -> this element is element_at i+1
+    # (1-based); its successor is i+2, the slop-1 successor i+3.
+    # try_element_at returns NULL past the tail (ANSI-safe), and
+    # `true AND NULL` is NULL, which filter() drops.
+    n_phrase = F.expr(
+        f"size(filter(transform(toks, (x, i) -> x = '{_PHRASE_W1}'"
+        f" AND try_element_at(toks, i + 2) = '{_PHRASE_W2}'), b -> b))"
+    ).cast("bigint")
+    n_slop1 = F.expr(
+        f"size(filter(transform(toks, (x, i) -> x = '{_PHRASE_W1}'"
+        f" AND try_element_at(toks, i + 2) <> '{_PHRASE_W2}'"
+        f" AND try_element_at(toks, i + 3) = '{_PHRASE_W2}'), b -> b))"
+    ).cast("bigint")
+    return (
+        d2.select(
+            "doc_id",
+            n_phrase.alias("n_phrase"),
+            n_slop1.alias("n_slop1"),
+        )
+        .withColumn(
+            "score_e2", (F.col("n_phrase") * 100 + F.col("n_slop1") * 50)
+        )
+        .filter(F.col("score_e2") > 0)
+        .orderBy(F.col("score_e2").desc(), "doc_id")
+    )
+
+
+SQL_SEARCH_PHRASE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_SR_TOKEN_SPLIT}'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE lang = '{_SR_LANG}'
+), counted AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, (x, i) -> x = '{_PHRASE_W1}'
+                  AND toks[i + 1] = '{_PHRASE_W2}')) AS BIGINT) AS n_phrase,
+         CAST(len(list_filter(toks, (x, i) -> x = '{_PHRASE_W1}'
+                  AND toks[i + 1] <> '{_PHRASE_W2}'
+                  AND toks[i + 2] = '{_PHRASE_W2}')) AS BIGINT) AS n_slop1
+  FROM d
+)
+SELECT doc_id, n_phrase, n_slop1,
+       n_phrase * 100 + n_slop1 * 50 AS score_e2
+FROM counted WHERE n_phrase * 100 + n_slop1 * 50 > 0
+ORDER BY score_e2 DESC, doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "storage_admission": {
+            "builder": q_storage_admission,
+            "sql": SQL_STORAGE_ADMISSION,
+        },
+        "dashboard_kpi": {"builder": q_dashboard_kpi, "sql_fn": _kpi_sql},
+        "search_phrase": {"builder": q_search_phrase, "sql": SQL_SEARCH_PHRASE},
+    }
+)
