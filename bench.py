@@ -134,6 +134,7 @@ HEADLINE_QUERIES = (
     "storage_admission",
     "dashboard_kpi",
     "search_phrase",
+    "preference_pairs",
 )
 
 

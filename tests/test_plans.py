@@ -774,6 +774,74 @@ class TestSearchBm25EmptyCorpus:
         assert q_search_bm25f(spark, str(tmp_path)).count() == 0
 
 
+class TestPreferencePairsPlan:
+    def test_two_exchanges_no_self_join(self, spark):
+        """Pair construction must stay two hash Exchanges (conv_id
+        attribution window; (conv_id, prompt_idx) ranks + groupBy share
+        the second) — no self-join, no explode, no cartesian."""
+        from unraveldocs_spark.entry_queries import q_preference_pairs
+
+        plan = plan_of(q_preference_pairs(spark, SF), "simple")
+        assert "Generate" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("documents.parquet") == 1  # never self-joins
+        assert plan.count("Exchange hashpartitioning") == 2
+
+
+class TestPreferencePairsSemantics:
+    def test_attribution_selection_and_ties(self, spark, tmp_path):
+        """Pins the pairing rules under the positional role derivation
+        (turn 0,3,6.. user; turn 7 tool; else assistant): responses
+        attribute to the nearest PRECEDING user turn, chosen/rejected
+        are the extreme-reward responses, reward ties emit NO pair, a
+        prompt whose only response slot is a tool turn emits no pair."""
+        from unraveldocs_spark.entry_queries import q_preference_pairs
+
+        s1 = [  # turns 0..5: u a a u a a
+            "what is spark",
+            "short",
+            "a much longer and better answer",
+            "second prompt",
+            "tie text",  # 2 words, 8 chars -> 2008
+            "text tie",  # 2008: tie -> prompt 3 emits no pair
+        ]
+        s2 = [  # turns 0..8: u a a u a a u TOOL a
+            "first prompt",
+            "one",
+            "two words",
+            "next prompt",
+            "alpha beta gamma",
+            "zz",
+            "last prompt",
+            "tool noise ignored",
+            "lonely answer",  # single response -> no pair
+        ]
+        docs = [(100 + i, t, "s1") for i, t in enumerate(s1)]
+        docs += [(200 + i, t, "s2") for i, t in enumerate(s2)]
+        spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, t, s in docs],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = {
+            (r["conv_id"], r["prompt_idx"]): r
+            for r in q_preference_pairs(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {("s1", 0), ("s2", 0), ("s2", 3)}
+        r1 = rows[("s1", 0)]
+        assert (r1["n_responses"], r1["chosen_idx"], r1["rejected_idx"]) == (2, 2, 1)
+        # reward = 1000*java_word_count + n_chars
+        assert (r1["chosen_reward"], r1["rejected_reward"]) == (6031, 1005)
+        assert r1["margin"] == 5026
+        assert r1["chosen_digest"] != r1["rejected_digest"]
+        r2 = rows[("s2", 0)]
+        assert (r2["chosen_idx"], r2["rejected_idx"]) == (2, 1)
+        assert (r2["chosen_reward"], r2["rejected_reward"]) == (2009, 1003)
+        r3 = rows[("s2", 3)]
+        assert (r3["chosen_idx"], r3["rejected_idx"]) == (4, 5)
+        assert (r3["chosen_reward"], r3["rejected_reward"]) == (3016, 1002)
+
+
 class TestEncryptStagePlan:
     def test_encrypt_stage_is_zero_shuffle_arrow(self, spark):
         """Upload-side encryption must be one narrow Arrow stage — no

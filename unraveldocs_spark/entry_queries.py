@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from .extract import extract_stage
 from .pipeline import salted_repartition
-from .queries import _sql_java_word_count
+from .queries import _spark_java_word_count, _sql_java_word_count
 from .rollup import conversation_rollup
 
 
@@ -798,4 +798,185 @@ FROM kept GROUP BY conv_id ORDER BY conv_id
 ENTRY_REGISTRY["conversation_pack"] = {
     "builder": q_conversation_pack,
     "sql": SQL_CONVERSATION_PACK,
+}
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (DPO/RLHF-style) — the transcript-native
+# step that turns multi-response conversations into (prompt, chosen,
+# rejected) training pairs: each assistant turn is attributed to the
+# nearest PRECEDING user turn (tool turns don't break attribution), and
+# every prompt with >=2 assistant responses emits one pair — highest-
+# reward response chosen, lowest rejected — skipping reward ties.  The
+# reward is a deterministic proxy (1000*word_count + n_chars, Java word
+# semantics) standing in for a reward-model score; a production
+# deployment swaps the expression for a scored column without touching
+# the pairing shape.
+#
+# Roles derive from turn POSITION (turn_idx % 3 == 0 -> user,
+# turn_idx % 10 == 7 -> tool, else assistant), not from doc_id parity as
+# in derived_transcripts: the driver corpus assigns doc_ids round-robin
+# by source, so doc-parity roles are constant per conversation and would
+# never produce the user-followed-by-multiple-assistants shape pairing
+# operates on.
+# ---------------------------------------------------------------------------
+
+
+def q_preference_pairs(spark, sf_dir):
+    """(prompt, chosen, rejected) pair assembly over the derived
+    transcripts, digests in place of wide text (driver-schema rule).
+
+    Scale shape: prompt attribution is ONE conv_id-partitioned running
+    window (last user turn so far, ignorenulls); pair selection is two
+    row_number ranks over (conv_id, prompt_idx) — same partitioning,
+    one Exchange — feeding a groupBy on the SAME key (no further
+    shuffle).  Two hash Exchanges total regardless of corpus size; no
+    self-join, no explode.  Hot conversations are bounded by turns-per-
+    conversation, not corpus size, so no salting is needed on the pair
+    key (unlike the extraction stage's conv_id salt, where payload
+    bytes ride the shuffle)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w0 = Window.partitionBy("source").orderBy("doc_id")
+    turn_idx = (F.row_number().over(w0) - 1).cast("int")
+    t = d.select(
+        F.col("source").alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        F.col("text"),
+    ).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("user"))
+        .when(F.col("turn_idx") % 10 == 7, F.lit("tool"))
+        .otherwise(F.lit("assistant")),
+    )
+    w_ctx = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    user_idx = F.when(F.col("role") == "user", F.col("turn_idx"))
+    user_text = F.when(F.col("role") == "user", F.col("text"))
+    reward = (
+        F.lit(1000).cast("bigint") * _spark_java_word_count(F.col("text"))
+        + F.length("text")
+    ).cast("bigint")
+    resp = (
+        t.select("conv_id", "turn_idx", "role", "text")
+        .withColumn("prompt_idx", F.last(user_idx, ignorenulls=True).over(w_ctx))
+        .withColumn(
+            "prompt_text", F.last(user_text, ignorenulls=True).over(w_ctx)
+        )
+        .filter((F.col("role") == "assistant") & F.col("prompt_idx").isNotNull())
+        .withColumn("reward", reward)
+    )
+    w_c = Window.partitionBy("conv_id", "prompt_idx").orderBy(
+        F.col("reward").desc(), F.col("turn_idx").asc()
+    )
+    w_r = Window.partitionBy("conv_id", "prompt_idx").orderBy(
+        F.col("reward").asc(), F.col("turn_idx").desc()
+    )
+    ranked = resp.withColumn("rn_c", F.row_number().over(w_c)).withColumn(
+        "rn_r", F.row_number().over(w_r)
+    )
+
+    def pick(rn, col):
+        return F.max(F.when(F.col(rn) == 1, F.col(col)))
+
+    def digest56(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("binary")), 1, 14), 16, 10
+        ).cast("bigint")
+
+    g = (
+        ranked.groupBy("conv_id", F.col("prompt_idx").cast("int").alias("prompt_idx"))
+        .agg(
+            F.max("prompt_text").alias("p_text"),
+            F.count(F.lit(1)).cast("int").alias("n_responses"),
+            pick("rn_c", "turn_idx").cast("int").alias("chosen_idx"),
+            pick("rn_r", "turn_idx").cast("int").alias("rejected_idx"),
+            pick("rn_c", "reward").alias("chosen_reward"),
+            pick("rn_r", "reward").alias("rejected_reward"),
+            pick("rn_c", "text").alias("c_text"),
+            pick("rn_r", "text").alias("r_text"),
+        )
+        .filter(
+            (F.col("n_responses") >= 2)
+            & (F.col("chosen_reward") > F.col("rejected_reward"))
+        )
+    )
+    return g.select(
+        "conv_id",
+        "prompt_idx",
+        digest56(F.col("p_text")).alias("prompt_digest"),
+        "n_responses",
+        "chosen_idx",
+        "rejected_idx",
+        "chosen_reward",
+        "rejected_reward",
+        (F.col("chosen_reward") - F.col("rejected_reward")).alias("margin"),
+        digest56(F.col("c_text")).alias("chosen_digest"),
+        digest56(F.col("r_text")).alias("rejected_digest"),
+    ).orderBy("conv_id", "prompt_idx")
+
+
+SQL_PREFERENCE_PAIRS = f"""
+WITH idx AS (
+  SELECT source AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS turn_idx,
+         text
+  FROM documents
+), t AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 3 = 0 THEN 'user'
+              WHEN turn_idx % 10 = 7 THEN 'tool'
+              ELSE 'assistant' END AS role,
+         text
+  FROM idx
+), ctx AS (
+  SELECT *,
+         last_value(CASE WHEN role = 'user' THEN turn_idx END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prompt_idx,
+         last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prompt_text
+  FROM t
+), resp AS (
+  SELECT conv_id, prompt_idx, prompt_text, turn_idx, text,
+         CAST(1000 * CAST({_sql_java_word_count('text')} AS BIGINT)
+              + length(text) AS BIGINT) AS reward
+  FROM ctx WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, prompt_idx
+                            ORDER BY reward DESC, turn_idx ASC) AS rn_c,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, prompt_idx
+                            ORDER BY reward ASC, turn_idx DESC) AS rn_r
+  FROM resp
+), g AS (
+  SELECT conv_id, CAST(prompt_idx AS INT) AS prompt_idx,
+         MAX(prompt_text) AS p_text,
+         CAST(COUNT(*) AS INT) AS n_responses,
+         CAST(MAX(CASE WHEN rn_c = 1 THEN turn_idx END) AS INT) AS chosen_idx,
+         CAST(MAX(CASE WHEN rn_r = 1 THEN turn_idx END) AS INT) AS rejected_idx,
+         MAX(CASE WHEN rn_c = 1 THEN reward END) AS chosen_reward,
+         MAX(CASE WHEN rn_r = 1 THEN reward END) AS rejected_reward,
+         MAX(CASE WHEN rn_c = 1 THEN text END) AS c_text,
+         MAX(CASE WHEN rn_r = 1 THEN text END) AS r_text
+  FROM ranked GROUP BY conv_id, prompt_idx
+)
+SELECT conv_id, prompt_idx,
+       ('0x' || substr(md5(p_text), 1, 14))::BIGINT AS prompt_digest,
+       n_responses, chosen_idx, rejected_idx, chosen_reward, rejected_reward,
+       chosen_reward - rejected_reward AS margin,
+       ('0x' || substr(md5(c_text), 1, 14))::BIGINT AS chosen_digest,
+       ('0x' || substr(md5(r_text), 1, 14))::BIGINT AS rejected_digest
+FROM g
+WHERE n_responses >= 2 AND chosen_reward > rejected_reward
+ORDER BY conv_id, prompt_idx
+"""
+
+
+ENTRY_REGISTRY["preference_pairs"] = {
+    "builder": q_preference_pairs,
+    "sql": SQL_PREFERENCE_PAIRS,
 }
