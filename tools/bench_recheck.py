@@ -24,6 +24,14 @@ import time
 
 FACTOR = 1.5
 REPS = 3
+# A ratio alone can't separate signal from scheduler jitter on sub-second
+# queries: every Spark job carries ~0.3-0.6s of fixed job-scheduling
+# overhead that itself swings with neighbor load, so 0.28s -> 0.44s is
+# 1.6x without a single extra row processed.  A regression verdict
+# additionally requires the isolated best to sit a material ABSOLUTE
+# delta above the previous round; below the floor the verdict is
+# 'noise-floor'.
+ABS_FLOOR_SEC = 1.0
 
 
 def previous_bench(repo: str) -> tuple[str | None, dict[str, float]]:
@@ -87,11 +95,17 @@ def recheck_regressions(
             }
             continue
         best = _best_of(lambda: qfns[name](spark, sf_dir).collect(), reps)
+        if best <= factor * base:
+            verdict = "noise"
+        elif best - base <= ABS_FLOOR_SEC:
+            verdict = "noise-floor"
+        else:
+            verdict = "regressed"
         out[name] = {
             "suite": round(sec, 3),
             "prev": round(base, 3),
             "best_isolated": round(best, 3),
-            "verdict": "noise" if best <= factor * base else "regressed",
+            "verdict": verdict,
         }
     return out
 
