@@ -855,3 +855,42 @@ class TestEncryptStagePlan:
         # encrypt map itself adds none
         assert plan.count("Exchange") == plan_of(t, "simple").count("Exchange")
         assert "MapInPandas" in plan or "mapInPandas" in plan
+
+
+class TestDsirImportancePlan:
+    def test_bucket_weights_broadcast_no_cartesian(self, spark):
+        """The B-row bucket-weight table must ride a broadcast into the
+        per-(doc, bucket) counts; corpus cost stays at the two token
+        groupBys plus the final per-doc agg — three hash Exchanges."""
+        from unraveldocs_spark.trainingdata import q_dsir_importance
+
+        plan = plan_of(q_dsir_importance(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+        assert plan.count("Exchange hashpartitioning") == 3
+
+
+class TestNgramLmScorePlan:
+    def test_no_cartesian_one_row_v_broadcast(self, spark):
+        """V (vocab size) is a single-row broadcast — the only nested-
+        loop join allowed; the count-table joins are keyed (hash or
+        sort-merge, never cartesian)."""
+        from unraveldocs_spark.trainingdata import q_ngram_lm_score
+
+        plan = plan_of(q_ngram_lm_score(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        assert plan.count("Exchange hashpartitioning") <= 5
+
+
+class TestBpeEncodePlan:
+    def test_encode_pass_is_shuffle_free(self, spark):
+        """The encode stage is one Arrow-batched pass: no hash Exchange
+        beyond the generator's parallelism spread (the ORDER BY is a
+        presentation-only range partitioning)."""
+        from unraveldocs_spark.trainingdata import q_bpe_encode
+
+        plan = plan_of(q_bpe_encode(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "MapInPandas" in plan
+        assert plan.count("Exchange hashpartitioning") <= 1

@@ -1019,3 +1019,105 @@ class TestBpeMerges:
 
         src = inspect.getsource(_bpe_learn_sql)
         assert "_JAVA_RE_WS_SPLIT" in src and 're.compile(r"\\s' not in src
+
+
+class TestBpeApply:
+    """bpe_apply (encode half) pins — shared by the Spark Arrow stage
+    and the VALUES oracle."""
+
+    def test_left_to_right_non_overlapping(self):
+        from unraveldocs_spark.trainingdata import bpe_apply
+
+        assert bpe_apply("aaaa", [("a", "a")]) == ("aa", "aa")
+        assert bpe_apply("aaa", [("a", "a")]) == ("aa", "a")
+
+    def test_merges_chain_in_learned_order(self):
+        from unraveldocs_spark.trainingdata import bpe_apply
+
+        assert bpe_apply("aaaa", [("a", "a"), ("aa", "aa")]) == ("aaaa",)
+
+    def test_order_matters_consumed_symbols_do_not_remerge(self):
+        from unraveldocs_spark.trainingdata import bpe_apply
+
+        # (b,c) fires first, so a later (a,b) merge has no 'b' left
+        assert bpe_apply("abc", [("b", "c"), ("a", "b")]) == ("a", "bc")
+
+    def test_word_without_merge_is_untouched(self):
+        from unraveldocs_spark.trainingdata import bpe_apply
+
+        assert bpe_apply("xyz", [("a", "b")]) == ("x", "y", "z")
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        [(i, t, lang, "src", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+class TestDsirImportance:
+    def test_all_target_corpus_has_unit_weights(self, spark, tmp_path):
+        """When every document is in the target slice, cnt_t == cnt_r in
+        every bucket, so each token weighs exactly 1e6 and
+        score_e6 == 1e6 * n_tokens."""
+        from unraveldocs_spark.trainingdata import q_dsir_importance
+
+        _write_docs(
+            spark,
+            tmp_path,
+            [("alpha beta gamma", "en"), ("delta alpha", "en")],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in q_dsir_importance(spark, str(tmp_path)).collect()
+        }
+        assert rows[0]["n_tokens"] == 3 and rows[1]["n_tokens"] == 2
+        for r in rows.values():
+            assert r["avg_weight_e6"] == 1_000_000
+            assert r["score_e6"] == 1_000_000 * r["n_tokens"]
+
+    def test_empty_target_slice_scores_zero(self, spark, tmp_path):
+        from unraveldocs_spark.trainingdata import q_dsir_importance
+
+        _write_docs(
+            spark, tmp_path, [("uno dos tres", "es"), ("vier funf", "de")]
+        )
+        for r in q_dsir_importance(spark, str(tmp_path)).collect():
+            assert r["score_e6"] == 0 and r["avg_weight_e6"] == 0
+
+    def test_single_char_tokens_excluded(self, spark, tmp_path):
+        from unraveldocs_spark.trainingdata import q_dsir_importance
+
+        _write_docs(spark, tmp_path, [("a b cd", "en")])
+        [r] = q_dsir_importance(spark, str(tmp_path)).collect()
+        assert r["n_tokens"] == 1  # only 'cd' survives the len >= 2 gate
+
+
+class TestNgramLmScore:
+    def test_add_one_smoothed_conditionals(self, spark, tmp_path):
+        """Hand-computed corpus: docs 'a b', 'a b', 'a c' give
+        cnt1(a)=3, V=3, cnt2(a,b)=2, cnt2(a,c)=1, so
+        cond(a,b) = 1e6*3 DIV 6 = 500000 and
+        cond(a,c) = 1e6*2 DIV 6 = 333333 (single-char tokens are KEPT
+        here — dropping them would fabricate adjacencies)."""
+        from unraveldocs_spark.trainingdata import q_ngram_lm_score
+
+        _write_docs(
+            spark, tmp_path, [("a b", "en"), ("a b", "en"), ("a c", "en")]
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in q_ngram_lm_score(spark, str(tmp_path)).collect()
+        }
+        assert rows[0]["avg_cond_e6"] == 500_000
+        assert rows[1]["avg_cond_e6"] == 500_000
+        assert rows[2]["avg_cond_e6"] == 333_333
+        assert all(r["n_bigrams"] == 1 for r in rows.values())
+
+    def test_short_docs_drop_out(self, spark, tmp_path):
+        from unraveldocs_spark.trainingdata import q_ngram_lm_score
+
+        _write_docs(spark, tmp_path, [("solo", "en"), ("two words", "en")])
+        rows = q_ngram_lm_score(spark, str(tmp_path)).collect()
+        assert [r["doc_id"] for r in rows] == [1]

@@ -4732,3 +4732,413 @@ TRAINING_REGISTRY.update(
         },
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights (Xie et al. 2023, log-free
+# integer variant)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+
+
+def q_dsir_importance(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    over hashed unigram features: every token hashes into one of
+    ``_DSIR_BUCKETS`` buckets (md5-prefix mod B — engine-portable), the
+    target distribution is the ``lang = 'en'`` slice of the corpus, and
+    each document scores the sum over its tokens of the per-bucket
+    target/raw frequency ratio.  The ratio is the log-free integer
+    variant ``(1e6 * cnt_target) DIV cnt_raw`` (target ⊆ raw, so each
+    weight is ≤ 1e6 and integer-exact on both engines; the classic
+    sum-of-log-ratios form would hinge on ln() ulp agreement between
+    JVM and C, which nothing guarantees).  Output per document:
+    token count, total importance score, and mean per-token weight.
+
+    Scale shape: one explode + two groupBys; the bucket-weight table is
+    B rows and BROADCAST to the per-(doc, bucket) counts, so corpus
+    cost is two hash Exchanges regardless of size.  At 100 TB the
+    weight numerator 1e6*cnt_target holds BIGINT headroom to ~9e12
+    target tokens (ANSI overflow is loud beyond).  Bucket count is the
+    standard DSIR knob (the paper uses 10^4 hashed n-gram buckets at
+    CommonCrawl scale); B=64 keeps the driver-scale oracle readable."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: (x != "") & (F.length(x) >= 2),
+    )
+    tb = d.select("doc_id", "lang", F.explode(toks).alias("w")).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(_DSIR_BUCKETS),
+        ).alias("bucket"),
+    )
+    bstats = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_t"),
+    )
+    wts = bstats.select(
+        "bucket",
+        F.expr("CAST((1000000 * cnt_t) DIV cnt_r AS BIGINT)").alias("weight_e6"),
+    )
+    db = tb.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    return (
+        db.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n_b") * F.col("weight_e6"))
+            .cast("bigint")
+            .alias("score_e6"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "score_e6",
+            F.expr("CAST(score_e6 DIV n_tokens AS BIGINT)").alias(
+                "avg_weight_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '' AND length(x) >= 2)) AS w
+  FROM documents WHERE text IS NOT NULL
+), tb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM tok
+), bstats AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt_r,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+  FROM tb GROUP BY bucket
+), w AS (
+  SELECT bucket, CAST((1000000 * cnt_t) // cnt_r AS BIGINT) AS weight_e6
+  FROM bstats
+), db AS (
+  SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM tb GROUP BY doc_id, lang, bucket
+)
+SELECT db.doc_id, db.lang,
+       CAST(SUM(n_b) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_b * weight_e6) AS BIGINT) AS score_e6,
+       CAST(SUM(n_b * weight_e6) // SUM(n_b) AS BIGINT) AS avg_weight_e6
+FROM db JOIN w USING (bucket)
+GROUP BY db.doc_id, db.lang
+ORDER BY db.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Add-one-smoothed bigram LM fluency score (KenLM-style perplexity proxy,
+# integer-exact)
+# ---------------------------------------------------------------------------
+
+def q_ngram_lm_score(spark, sf_dir):
+    """Count-based bigram language-model fluency score: train add-one-
+    smoothed bigram conditionals on the whole corpus, then score each
+    document by its mean conditional probability — the integer-exact
+    stand-in for KenLM perplexity filtering (CCNet's quality signal).
+    Each conditional is ``(1e6 * (cnt(w1,w2) + 1)) DIV (cnt(w1) + V)``
+    (V = vocabulary size), so both engines sum identical BIGINTs and
+    the usual float-log-domain drift cannot occur.
+
+    Scale shape: one posexplode pass; bigram adjacency is a single
+    ``lead`` window on (doc_id, pos) — the same partitioning the
+    per-(doc, bigram) groupBy reuses.  The count tables join on their
+    natural keys (shuffle joins on w1 / (w1, w2): the model tables are
+    vocabulary-sized, far smaller than the corpus but too big to
+    assume broadcastable at 100 TB); V is a 1-row broadcast.  Docs
+    with < 2 tokens have no bigrams and drop out (both engines)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks_arr = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    tok = d.select("doc_id", F.posexplode(toks_arr).alias("pos", "w"))
+    cnt1 = tok.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt1")
+    )
+    vocab_n = tok.select(F.countDistinct("w").cast("bigint").alias("v"))
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wlead).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    cnt2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt2")
+    )
+    db = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    j = (
+        db.join(cnt2, ["w1", "w2"])
+        .join(cnt1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn(
+            "cond_e6",
+            F.expr("CAST((1000000 * (cnt2 + 1)) DIV (cnt1 + v) AS BIGINT)"),
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("cond_e6"))
+            .cast("bigint")
+            .alias("sum_cond_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_cond_e6",
+            F.expr("CAST(sum_cond_e6 DIV n_bigrams AS BIGINT)").alias(
+                "avg_cond_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_NGRAM_LM_SCORE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS w
+  FROM d, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), cnt1 AS (
+  SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM tok GROUP BY w
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok
+), big AS (
+  SELECT doc_id, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), bigf AS (
+  SELECT * FROM big WHERE w2 IS NOT NULL
+), cnt2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM bigf GROUP BY w1, w2
+), db AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM bigf GROUP BY doc_id, w1, w2
+), j AS (
+  SELECT db.doc_id, db.n_occ,
+         CAST((1000000 * (cnt2.cnt2 + 1)) // (cnt1.cnt1 + vocab.v) AS BIGINT)
+           AS cond_e6
+  FROM db JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+       CAST(SUM(n_occ * cond_e6) AS BIGINT) AS sum_cond_e6,
+       CAST(SUM(n_occ * cond_e6) // SUM(n_occ) AS BIGINT) AS avg_cond_e6
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "dsir_importance": {
+            "builder": q_dsir_importance,
+            "sql": SQL_DSIR_IMPORTANCE,
+        },
+        "ngram_lm_score": {
+            "builder": q_ngram_lm_score,
+            "sql": SQL_NGRAM_LM_SCORE,
+        },
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE apply: encode the corpus with the learned merge table
+# ---------------------------------------------------------------------------
+
+def bpe_apply(word: str, merges) -> tuple[str, ...]:
+    """Encode one word with a learned merge table: apply each merge in
+    learned ORDER, rewriting the symbol sequence left-to-right
+    non-overlapping — byte-identical to the rewrite step inside
+    ``bpe_merges``, and the exact apply rule of subword-nmt/HF
+    tokenizers for an ordered merge list.  Pure and deterministic: the
+    SAME function runs inside the Spark Arrow stage and in the DuckDB
+    VALUES-oracle generator."""
+    s: tuple[str, ...] = tuple(word)
+    for left, right in merges:
+        if left not in s:
+            continue
+        ns: list[str] = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                ns.append(left + right)
+                i += 2
+            else:
+                ns.append(s[i])
+                i += 1
+        s = tuple(ns)
+    return s
+
+
+def _transcript_bpe_rows(merges, pdf):
+    """Per-turn encode rows (shared by the Spark Arrow stage and the
+    VALUES oracle): tokenize with the Java-``\\s+`` ASCII split (r2
+    whitespace invariant), encode every non-empty token, emit word and
+    symbol counts plus the md5-56 digest of the U+001F-joined symbol
+    stream."""
+    from .oracle_sql_gen import _md5_56
+    from .semantics import _JAVA_RE_WS_SPLIT
+
+    pairs = [(left, right) for left, right, _ in merges]
+    out = []
+    for conv_id, turn_idx, text in zip(
+        pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+    ):
+        toks = [w for w in _JAVA_RE_WS_SPLIT.split(text.lower()) if w]
+        syms = [s for w in toks for s in bpe_apply(w, pairs)]
+        out.append(
+            (
+                conv_id,
+                int(turn_idx),
+                len(toks),
+                len(syms),
+                _md5_56("\x1f".join(syms)),
+            )
+        )
+    return out
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Apply the learned BPE merge table to the whole corpus — the
+    encode half of tokenizer training (``bpe_learn`` is the train
+    half): learn the merge table exactly as ``q_bpe_learn`` does (one
+    distributed word-frequency pass, capped TakeOrdered vocab fold,
+    driver merge loop), then broadcast the tiny ordered merge list
+    into an Arrow-batched mapInPandas stage that encodes every turn.
+    Output per turn: word count, post-merge symbol count, and the
+    md5-56 digest of the symbol stream (wide values ship as digests —
+    driver-schema rule).
+
+    Scale shape: the encode pass is embarrassingly parallel — zero
+    Exchanges after the scan (the ORDER BY is presentation-only); the
+    merge table rides the closure (12 merges here; real tokenizers are
+    ~50k entries, still a broadcast-sized list).  At 100 TB this is the
+    canonical tokenize-the-corpus stage: corpus cost is one Arrow
+    pass, and the learn phase's corpus cost is the one word-count
+    Exchange measured under ``bpe_learn``."""
+    import pandas as pd
+
+    from .generator import transcripts_spark
+
+    words_df = (
+        transcripts_spark(
+            spark, 30, hot_factor=10, include_oversize=False, parallelism=8
+        )
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = (
+        words_df.orderBy(F.col("freq").desc(), "w").limit(_BPE_VOCAB_CAP).collect()
+    )
+    merges = bpe_merges(
+        {r["w"]: int(r["freq"]) for r in top}, _BPE_LEARN_MERGES
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            rows = _transcript_bpe_rows(merges, pdf)
+            yield pd.DataFrame(
+                {
+                    "conv_id": [r[0] for r in rows],
+                    "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                    "n_words": pd.array([r[2] for r in rows], dtype="int32"),
+                    "n_symbols": pd.array([r[3] for r in rows], dtype="int32"),
+                    "symbols_digest": pd.array(
+                        [r[4] for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    t = transcripts_spark(
+        spark, 30, hot_factor=10, include_oversize=False, parallelism=8
+    )
+    return (
+        t.filter(F.col("text").isNotNull())
+        .select("conv_id", "turn_idx", "text")
+        .mapInPandas(
+            encode_batches,
+            "conv_id string, turn_idx int, n_words int, n_symbols int, "
+            "symbols_digest bigint",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """VALUES oracle: learn the merge table and encode every turn in
+    pure sequential Python over the pandas generator path (same
+    tokenization, same ``bpe_merges``, same ``bpe_apply``, same md5-56
+    digest helper), regenerated at call time so it tracks semantics
+    automatically."""
+    from .generator import transcripts_pandas
+    from .semantics import _JAVA_RE_WS_SPLIT
+
+    pdf = transcripts_pandas(30, hot_factor=10, include_oversize=False)
+    pdf = pdf[pdf["text"].notna()]
+    freqs: dict[str, int] = {}
+    for text in pdf["text"]:
+        for w in _JAVA_RE_WS_SPLIT.split(text.lower()):
+            if w and len(w) >= 2:
+                freqs[w] = freqs.get(w, 0) + 1
+    top = dict(
+        sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_VOCAB_CAP]
+    )
+    merges = bpe_merges(top, _BPE_LEARN_MERGES)
+    rows = _transcript_bpe_rows(merges, pdf)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n".join(
+        f"({q(c)}, {i}, {nw}, {ns}, {dg})" for c, i, nw, ns, dg in rows
+    )
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_symbols AS INT) AS n_symbols,
+       CAST(symbols_digest AS BIGINT) AS symbols_digest
+FROM (VALUES
+{values}
+) AS t(conv_id, turn_idx, n_words, n_symbols, symbols_digest)
+ORDER BY conv_id, turn_idx
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "bpe_encode": {"builder": q_bpe_encode, "sql_fn": _bpe_encode_sql},
+    }
+)
