@@ -135,6 +135,9 @@ HEADLINE_QUERIES = (
     "dashboard_kpi",
     "search_phrase",
     "preference_pairs",
+    "dsir_importance",
+    "ngram_lm_score",
+    "bpe_encode",
 )
 
 
