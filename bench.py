@@ -138,6 +138,7 @@ HEADLINE_QUERIES = (
     "dsir_importance",
     "ngram_lm_score",
     "bpe_encode",
+    "best_of_n",
 )
 
 

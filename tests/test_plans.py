@@ -894,3 +894,17 @@ class TestBpeEncodePlan:
         assert "CartesianProduct" not in plan
         assert "MapInPandas" in plan
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestBestOfNPlan:
+    def test_two_exchanges_no_self_join(self, spark):
+        """Best-of-n shares preference_pairs' shape: conv attribution
+        window + (conv, prompt) rank/groupBy on one shared Exchange —
+        two hash Exchanges, single scan, no explode/cartesian."""
+        from unraveldocs_spark.entry_queries import q_best_of_n
+
+        plan = plan_of(q_best_of_n(spark, SF), "simple")
+        assert "Generate" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("documents.parquet") == 1
+        assert plan.count("Exchange hashpartitioning") == 2

@@ -980,3 +980,152 @@ ENTRY_REGISTRY["preference_pairs"] = {
     "builder": q_preference_pairs,
     "sql": SQL_PREFERENCE_PAIRS,
 }
+
+
+_BON_MIN_REWARD = 2000  # accept gate: >= 2 words (reward = 1000*wc + chars)
+
+
+def q_best_of_n(spark, sf_dir):
+    """Best-of-n rejection sampling (ReST / RAFT-style distillation) —
+    the SFT-side companion of ``preference_pairs``: per prompt, keep
+    the argmax-reward response among its n candidates and gate it on
+    an absolute reward threshold.  Shares the positional role
+    derivation and prompt-attribution window with preference_pairs
+    (same deterministic reward proxy 1000*word_count + n_chars
+    standing in for a reward-model column), but keeps single-response
+    prompts (n >= 1) and emits per-prompt reward statistics instead of
+    a chosen/rejected pair.
+
+    Scale shape: identical to preference_pairs — one conv_id
+    attribution window, then one (conv_id, prompt_idx) rank sharing
+    its Exchange with the groupBy; two hash Exchanges total, no
+    self-join, no explode."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w0 = Window.partitionBy("source").orderBy("doc_id")
+    turn_idx = (F.row_number().over(w0) - 1).cast("int")
+    t = d.select(
+        F.col("source").alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        F.col("text"),
+    ).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("user"))
+        .when(F.col("turn_idx") % 10 == 7, F.lit("tool"))
+        .otherwise(F.lit("assistant")),
+    )
+    w_ctx = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    user_idx = F.when(F.col("role") == "user", F.col("turn_idx"))
+    user_text = F.when(F.col("role") == "user", F.col("text"))
+    reward = (
+        F.lit(1000).cast("bigint") * _spark_java_word_count(F.col("text"))
+        + F.length("text")
+    ).cast("bigint")
+    resp = (
+        t.select("conv_id", "turn_idx", "role", "text")
+        .withColumn("prompt_idx", F.last(user_idx, ignorenulls=True).over(w_ctx))
+        .withColumn(
+            "prompt_text", F.last(user_text, ignorenulls=True).over(w_ctx)
+        )
+        .filter((F.col("role") == "assistant") & F.col("prompt_idx").isNotNull())
+        .withColumn("reward", reward)
+    )
+    w_b = Window.partitionBy("conv_id", "prompt_idx").orderBy(
+        F.col("reward").desc(), F.col("turn_idx").asc()
+    )
+    ranked = resp.withColumn("rn", F.row_number().over(w_b))
+
+    def digest56(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("binary")), 1, 14), 16, 10
+        ).cast("bigint")
+
+    g = ranked.groupBy(
+        "conv_id", F.col("prompt_idx").cast("int").alias("prompt_idx")
+    ).agg(
+        F.max("prompt_text").alias("p_text"),
+        F.count(F.lit(1)).cast("int").alias("n_candidates"),
+        F.max(F.when(F.col("rn") == 1, F.col("turn_idx")))
+        .cast("int")
+        .alias("best_idx"),
+        F.max(F.when(F.col("rn") == 1, F.col("reward"))).alias("best_reward"),
+        F.max(F.when(F.col("rn") == 1, F.col("text"))).alias("b_text"),
+        F.sum("reward").cast("bigint").alias("sum_reward"),
+    )
+    return g.select(
+        "conv_id",
+        "prompt_idx",
+        digest56(F.col("p_text")).alias("prompt_digest"),
+        "n_candidates",
+        "best_idx",
+        "best_reward",
+        F.expr("CAST(sum_reward DIV n_candidates AS BIGINT)").alias(
+            "mean_reward"
+        ),
+        (F.col("best_reward") >= _BON_MIN_REWARD)
+        .cast("int")
+        .alias("accepted"),
+        digest56(F.col("b_text")).alias("best_digest"),
+    ).orderBy("conv_id", "prompt_idx")
+
+
+SQL_BEST_OF_N = f"""
+WITH idx AS (
+  SELECT source AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS turn_idx,
+         text
+  FROM documents
+), t AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 3 = 0 THEN 'user'
+              WHEN turn_idx % 10 = 7 THEN 'tool'
+              ELSE 'assistant' END AS role,
+         text
+  FROM idx
+), ctx AS (
+  SELECT *,
+         last_value(CASE WHEN role = 'user' THEN turn_idx END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prompt_idx,
+         last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prompt_text
+  FROM t
+), resp AS (
+  SELECT conv_id, prompt_idx, prompt_text, turn_idx, text,
+         CAST(1000 * CAST({{wc}} AS BIGINT) + length(text) AS BIGINT) AS reward
+  FROM ctx WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, prompt_idx
+                            ORDER BY reward DESC, turn_idx ASC) AS rn
+  FROM resp
+), g AS (
+  SELECT conv_id, CAST(prompt_idx AS INT) AS prompt_idx,
+         MAX(prompt_text) AS p_text,
+         CAST(COUNT(*) AS INT) AS n_candidates,
+         CAST(MAX(CASE WHEN rn = 1 THEN turn_idx END) AS INT) AS best_idx,
+         MAX(CASE WHEN rn = 1 THEN reward END) AS best_reward,
+         MAX(CASE WHEN rn = 1 THEN text END) AS b_text,
+         CAST(SUM(reward) AS BIGINT) AS sum_reward
+  FROM ranked GROUP BY conv_id, prompt_idx
+)
+SELECT conv_id, prompt_idx,
+       ('0x' || substr(md5(p_text), 1, 14))::BIGINT AS prompt_digest,
+       n_candidates, best_idx, best_reward,
+       CAST(sum_reward // n_candidates AS BIGINT) AS mean_reward,
+       CAST(CASE WHEN best_reward >= {_BON_MIN_REWARD} THEN 1 ELSE 0 END AS INT)
+         AS accepted,
+       ('0x' || substr(md5(b_text), 1, 14))::BIGINT AS best_digest
+FROM g
+ORDER BY conv_id, prompt_idx
+"""
+
+
+ENTRY_REGISTRY["best_of_n"] = {
+    "builder": q_best_of_n,
+    "sql_fn": lambda: SQL_BEST_OF_N.format(wc=_sql_java_word_count("text")),
+}
