@@ -1,3 +1,7 @@
+"""Semantics pins for driver-facing entry queries (entry_queries.py).
+
+Plan-shape assertions for the same queries live in test_plans.py; these
+pin the row-level rules on hand-built fixtures."""
 
 
 class TestBestOfNSemantics:

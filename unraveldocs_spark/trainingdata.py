@@ -4857,13 +4857,18 @@ def q_ngram_lm_score(spark, sf_dir):
     (V = vocabulary size), so both engines sum identical BIGINTs and
     the usual float-log-domain drift cannot occur.
 
-    Scale shape: one posexplode pass; bigram adjacency is a single
-    ``lead`` window on (doc_id, pos) — the same partitioning the
-    per-(doc, bigram) groupBy reuses.  The count tables join on their
-    natural keys (shuffle joins on w1 / (w1, w2): the model tables are
-    vocabulary-sized, far smaller than the corpus but too big to
-    assume broadcastable at 100 TB); V is a 1-row broadcast.  Docs
-    with < 2 tokens have no bigrams and drop out (both engines)."""
+    Scale shape: one posexplode pass feeding a single ``lead`` window
+    on (doc_id, pos), and EVERY count table derives from that one
+    windowed stream — each token appears exactly once as w1 (doc-final
+    tokens carry w2 IS NULL), so cnt1/vocab/cnt2 all consume the same
+    window child and Spark's ReuseExchange collapses the corpus cost
+    to one scan + one doc_id Exchange read three ways.  The count
+    tables then join on their natural keys (shuffle joins on
+    w1 / (w1, w2): the model tables are vocabulary-sized — measured
+    flat over 10x corpus growth in BENCH/NGRAM_LM_SCALE.md — far
+    smaller than the corpus but too big to assume broadcastable at
+    100 TB); V is a 1-row broadcast.  Docs with < 2 tokens have no
+    bigrams and drop out (both engines)."""
     from pyspark.sql.window import Window
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -4871,19 +4876,19 @@ def q_ngram_lm_score(spark, sf_dir):
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )
     tok = d.select("doc_id", F.posexplode(toks_arr).alias("pos", "w"))
-    cnt1 = tok.groupBy(F.col("w").alias("w1")).agg(
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    big0 = tok.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w").over(wlead).alias("w2"),
+    )
+    # unigram counts off the SAME windowed stream: each token is w1 in
+    # exactly one row (the document's last token has w2 IS NULL)
+    cnt1 = big0.groupBy("w1").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt1")
     )
-    vocab_n = tok.select(F.countDistinct("w").cast("bigint").alias("v"))
-    wlead = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        tok.select(
-            "doc_id",
-            F.col("w").alias("w1"),
-            F.lead("w").over(wlead).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-    )
+    vocab_n = big0.select(F.countDistinct("w1").cast("bigint").alias("v"))
+    big = big0.filter(F.col("w2").isNotNull())
     cnt2 = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt2")
     )
