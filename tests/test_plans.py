@@ -908,3 +908,32 @@ class TestBestOfNPlan:
         assert "CartesianProduct" not in plan
         assert plan.count("documents.parquet") == 1
         assert plan.count("Exchange hashpartitioning") == 2
+
+
+class TestDomainMixPlan:
+    def test_no_explode_broadcast_totals(self, spark):
+        """Token counting stays JVM-side (size(filter(split)) — no
+        Generate/explode); the totals row joins via a 1-row broadcast;
+        the only hash Exchanges are the #domains-sized groupBy on
+        source (printed once per consuming branch)."""
+        from unraveldocs_spark.trainingdata import q_domain_mix
+
+        plan = plan_of(q_domain_mix(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "Generate" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestCurriculumOrderPlan:
+    def test_histogram_cdf_not_global_sort(self, spark):
+        """Stages come from the difficulty histogram's CDF: the doc rows
+        never shuffle (stage map joins back as a broadcast hash join);
+        the single-partition window runs over the histogram only."""
+        from unraveldocs_spark.trainingdata import q_curriculum_order
+
+        plan = plan_of(q_curriculum_order(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "Generate" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -1121,3 +1121,101 @@ class TestNgramLmScore:
         _write_docs(spark, tmp_path, [("solo", "en"), ("two words", "en")])
         rows = q_ngram_lm_score(spark, str(tmp_path)).collect()
         assert [r["doc_id"] for r in rows] == [1]
+
+
+def _write_docs_src(spark, tmp_path, rows):
+    """Like _write_docs but with a caller-chosen source per row."""
+    spark.createDataFrame(
+        [
+            (i, t, lang, src, len(t))
+            for i, (t, lang, src) in enumerate(rows)
+        ],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+class TestDomainMix:
+    def test_sqrt_upsamples_small_domains(self, spark, tmp_path):
+        """src_a has 16 tokens, src_b 4: raw proportions 0.8/0.2 but
+        alpha=0.5 weights sqrt(16):sqrt(4) = 4:2 -> 2/3 and 1/3."""
+        from unraveldocs_spark.trainingdata import q_domain_mix
+
+        _write_docs_src(
+            spark,
+            tmp_path,
+            [
+                (" ".join(["w"] * 16), "en", "src_a"),
+                (" ".join(["w"] * 4), "en", "src_b"),
+            ],
+        )
+        rows = {
+            r["source"]: r for r in q_domain_mix(spark, str(tmp_path)).collect()
+        }
+        assert rows["src_a"]["n_tokens"] == 16
+        assert rows["src_a"]["p_raw_e6"] == 800_000
+        assert rows["src_b"]["p_raw_e6"] == 200_000
+        assert rows["src_a"]["p_alpha_e6"] == 666_666
+        assert rows["src_b"]["p_alpha_e6"] == 333_333
+
+    def test_alpha_weights_sum_to_one_within_floor_slack(self, spark, tmp_path):
+        from unraveldocs_spark.trainingdata import q_domain_mix
+
+        _write_docs_src(
+            spark,
+            tmp_path,
+            [
+                ("a b c", "en", "s1"),
+                ("d e", "de", "s2"),
+                ("f g h i j k l", "fr", "s3"),
+            ],
+        )
+        rows = q_domain_mix(spark, str(tmp_path)).collect()
+        total = sum(r["p_alpha_e6"] for r in rows)
+        assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+
+class TestCurriculumOrder:
+    def test_stage_from_exact_cdf(self, spark, tmp_path):
+        """difficulty = (1e6 * n_chars) DIV n_tok; 4 distinct values ->
+        one doc per stage in difficulty order."""
+        from unraveldocs_spark.trainingdata import q_curriculum_order
+
+        _write_docs(
+            spark,
+            tmp_path,
+            [("aa", "en"), ("bbbb", "en"), ("cc dd", "en"), ("e f", "en")],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in q_curriculum_order(spark, str(tmp_path)).collect()
+        }
+        assert rows[3]["difficulty_e6"] == 1_500_000 and rows[3]["stage"] == 0
+        assert rows[0]["difficulty_e6"] == 2_000_000 and rows[0]["stage"] == 1
+        assert rows[2]["difficulty_e6"] == 2_500_000 and rows[2]["stage"] == 2
+        assert rows[1]["difficulty_e6"] == 4_000_000 and rows[1]["stage"] == 3
+
+    def test_ties_share_a_stage(self, spark, tmp_path):
+        """Equal difficulty values must land in the SAME stage (the CDF
+        rule never splits ties the way NTILE would)."""
+        from unraveldocs_spark.trainingdata import q_curriculum_order
+
+        _write_docs(
+            spark,
+            tmp_path,
+            [("aa", "en"), ("aa", "en"), ("bbbb", "en"), ("e f", "en")],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in q_curriculum_order(spark, str(tmp_path)).collect()
+        }
+        assert rows[0]["stage"] == rows[1]["stage"] == 1
+        assert rows[3]["stage"] == 0
+        assert rows[2]["stage"] == 3
+
+    def test_zero_token_docs_drop(self, spark, tmp_path):
+        from unraveldocs_spark.trainingdata import q_curriculum_order
+
+        _write_docs(spark, tmp_path, [("   ", "en"), ("ab", "en")])
+        rows = q_curriculum_order(spark, str(tmp_path)).collect()
+        assert [r["doc_id"] for r in rows] == [1]

@@ -5147,3 +5147,206 @@ TRAINING_REGISTRY.update(
         "bpe_encode": {"builder": q_bpe_encode, "sql_fn": _bpe_encode_sql},
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling weights (temperature/alpha sampling) and
+# curriculum staging — corpus-composition operators
+# ---------------------------------------------------------------------------
+
+def q_domain_mix(spark, sf_dir):
+    """Temperature-based domain mixture weights (the multilingual /
+    multi-source sampling rule of XLM-R and the GPT-3 data recipe):
+    each source's sampling probability is proportional to its token
+    mass raised to alpha = 0.5, which upsamples small domains relative
+    to raw proportion.  Integer-exact on a parity path WITHOUT
+    violating the no-ln() invariant: alpha = 0.5 is sqrt, and IEEE 754
+    REQUIRES sqrt to be correctly rounded (unlike ln/log, where JVM and
+    C libm may differ by ulps), so ``FLOOR(SQRT(n_tokens) * 1e6)`` is
+    bit-identical on both engines; all downstream arithmetic is BIGINT
+    DIV.  Output per source: doc/token counts, the raw token
+    proportion, and the alpha-smoothed sampling weight (both e6).
+
+    Scale shape: token counting never explodes — per-doc token count is
+    ``size(filter(split(...)))``, JVM-side in one scan — and the only
+    Exchange is the groupBy on ``source`` (partial aggregation makes it
+    #domains-sized).  The totals row is a 1-row broadcast.  At 100 TB
+    the output stays #domains rows; 1e6 * n_tokens holds BIGINT
+    headroom to ~9e12 tokens (ANSI overflow is loud beyond)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per_doc = d.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    dom = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    dom = dom.withColumn(
+        "s_e6",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)"),
+    )
+    tot = dom.agg(
+        F.expr("GREATEST(CAST(SUM(n_tokens) AS BIGINT), CAST(1 AS BIGINT))").alias(
+            "tot_tok"
+        ),
+        F.expr("GREATEST(CAST(SUM(s_e6) AS BIGINT), CAST(1 AS BIGINT))").alias(
+            "tot_s"
+        ),
+    )
+    return (
+        dom.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((1000000 * n_tokens) DIV tot_tok AS BIGINT)").alias(
+                "p_raw_e6"
+            ),
+            F.expr("CAST((1000000 * s_e6) DIV tot_s AS BIGINT)").alias(
+                "p_alpha_e6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_MIX = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+), dom AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+), dom_s AS (
+  SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+              AS s_e6
+  FROM dom
+), tot AS (
+  SELECT GREATEST(CAST(SUM(n_tokens) AS BIGINT), CAST(1 AS BIGINT)) AS tot_tok,
+         GREATEST(CAST(SUM(s_e6) AS BIGINT), CAST(1 AS BIGINT)) AS tot_s
+  FROM dom_s
+)
+SELECT source, n_docs, n_tokens,
+       CAST((1000000 * n_tokens) // tot_tok AS BIGINT) AS p_raw_e6,
+       CAST((1000000 * s_e6) // tot_s AS BIGINT) AS p_alpha_e6
+FROM dom_s CROSS JOIN tot
+ORDER BY source
+"""
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum staging: assign every document to one of 4 curriculum
+    stages by a difficulty proxy (mean token length, integer-e6 =
+    ``(1e6 * n_chars) DIV n_tokens``), easiest stage first — the
+    data-ordering step of curriculum-learning recipes.  Stages come
+    from the exact difficulty CDF, NOT a global NTILE: stage =
+    ``(4 * cum_below) DIV n_total`` where cum_below counts docs with
+    strictly smaller difficulty, so ties always share a stage and the
+    assignment is deterministic on both engines.
+
+    Scale shape: a global NTILE/row_number would funnel the corpus
+    through ONE partition (the classic global-sort scale-killer);
+    instead the difficulty HISTOGRAM (distinct integer difficulty
+    values — bounded, data-small) takes the single-partition running
+    sum, and docs get their stage via a broadcast join back on the
+    difficulty value.  Corpus cost: one scan + one histogram groupBy
+    Exchange + one broadcast join; no explode, no global sort of doc
+    rows (the final orderBy is presentation-only at driver scale)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per_doc = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    per_doc = per_doc.select(
+        "doc_id",
+        F.expr("CAST((1000000 * n_chars) DIV n_tok AS BIGINT)").alias(
+            "difficulty_e6"
+        ),
+    )
+    hist = per_doc.groupBy("difficulty_e6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy("difficulty_e6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        "difficulty_e6",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias(
+            "cum_below"
+        ),
+    )
+    tot = per_doc.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    stage_map = hist.join(F.broadcast(tot)).select(
+        "difficulty_e6",
+        F.expr("CAST((4 * cum_below) DIV n_total AS INT)").alias("stage"),
+    )
+    return (
+        per_doc.join(F.broadcast(stage_map), "difficulty_e6")
+        .select("doc_id", "difficulty_e6", "stage")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CURRICULUM_ORDER = """
+WITH per_doc0 AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+), per_doc AS (
+  SELECT doc_id,
+         CAST((1000000 * n_chars) // n_tok AS BIGINT) AS difficulty_e6
+  FROM per_doc0 WHERE n_tok > 0
+), hist AS (
+  SELECT difficulty_e6, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM per_doc GROUP BY difficulty_e6
+), cdf AS (
+  SELECT difficulty_e6,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY difficulty_e6
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_below
+  FROM hist
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per_doc
+), stage_map AS (
+  SELECT difficulty_e6, CAST((4 * cum_below) // n_total AS INT) AS stage
+  FROM cdf CROSS JOIN tot
+)
+SELECT per_doc.doc_id, per_doc.difficulty_e6, stage_map.stage
+FROM per_doc JOIN stage_map USING (difficulty_e6)
+ORDER BY per_doc.doc_id
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "domain_mix": {"builder": q_domain_mix, "sql": SQL_DOMAIN_MIX},
+        "curriculum_order": {
+            "builder": q_curriculum_order,
+            "sql": SQL_CURRICULUM_ORDER,
+        },
+    }
+)
