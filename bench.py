@@ -139,6 +139,8 @@ HEADLINE_QUERIES = (
     "ngram_lm_score",
     "bpe_encode",
     "best_of_n",
+    "domain_mix",
+    "curriculum_order",
 )
 
 

@@ -1,14 +1,13 @@
-"""Verdict ladder of the suite-bench positional-noise guard
-(tools/bench_recheck.py): ratio trigger, isolated re-time, and the
-absolute materiality floor that keeps sub-second scheduler jitter from
-reading as a regression."""
+"""Pins for the bench positional-noise guard (tools/bench_recheck.py):
+ratio + absolute floor verdicts, and the window-inflation control that
+separates a loud box from a real code regression."""
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.bench_recheck import recheck_regressions  # noqa: E402
+sys.path.insert(0, "/root/repo")
+
+from tools import bench_recheck as br
 
 
 class _FakeDF:
@@ -20,60 +19,67 @@ def _qfns(names):
     return {n: (lambda spark, sf: _FakeDF()) for n in names}
 
 
-def test_verdict_ladder(monkeypatch):
-    prev = {"fast": 0.3, "mid": 0.5, "slow": 3.0, "fine": 2.0, "new": None}
-    suite = {"fast": 0.5, "mid": 1.2, "slow": 8.0, "fine": 2.1}
-    isolated = {"fast": 0.5, "mid": 1.2, "slow": 7.5}
-
-    import tools.bench_recheck as br
-
-    def fake_best_of(fn, reps):
-        # fn closes over qfns[name]; recover the name via the order of
-        # calls — simpler: pop from a queue in insertion order of the
-        # regressed set (dict order of suite is deterministic).
-        return isolated[fake_best_of.queue.pop(0)]
-
-    fake_best_of.queue = [
-        n
-        for n, s in suite.items()
-        if prev.get(n) and s > 1.5 * prev[n]
-    ]
-    monkeypatch.setattr(br, "_best_of", fake_best_of)
-
-    out = recheck_regressions(
-        spark=None, sf_dir="", qfns=_qfns(suite), per_query=suite, prev=prev
-    )
-    # 'fine' never trips the ratio; 'new' has no baseline
-    assert set(out) == {"fast", "mid", "slow"}
-    # 0.3 -> 0.5 isolated: 1.67x but only +0.2s -> jitter, not signal
-    assert out["fast"]["verdict"] == "noise-floor"
-    # 0.5 -> 1.2 isolated: 2.4x but +0.7s, still under the 1s floor
-    assert out["mid"]["verdict"] == "noise-floor"
-    # 3.0 -> 7.5 isolated: 2.5x AND +4.5s -> real
-    assert out["slow"]["verdict"] == "regressed"
-
-
-def test_isolated_retime_under_ratio_is_noise(monkeypatch):
-    import tools.bench_recheck as br
-
-    monkeypatch.setattr(br, "_best_of", lambda fn, reps: 3.2)
-    out = recheck_regressions(
+def _run(monkeypatch, per_query, prev, isolated):
+    """Drive recheck_regressions with fake isolated timings: the Nth
+    _best_of call returns isolated[N] (flagged queries first, then
+    controls in selection order)."""
+    seq = iter(isolated)
+    monkeypatch.setattr(br, "_best_of", lambda fn, reps: next(seq))
+    return br.recheck_regressions(
         spark=None,
         sf_dir="",
-        qfns=_qfns(["q"]),
-        per_query={"q": 9.0},
-        prev={"q": 3.0},
+        qfns=_qfns(set(per_query) | set(prev)),
+        per_query=per_query,
+        prev=prev,
     )
-    assert out["q"]["verdict"] == "noise"
-    assert out["q"]["best_isolated"] == 3.2
 
 
-def test_missing_retimer_is_labeled():
-    out = recheck_regressions(
-        spark=None,
-        sf_dir="",
-        qfns={},
-        per_query={"extract_transcripts": 9.0},
-        prev={"extract_transcripts": 3.0},
-    )
-    assert out["extract_transcripts"]["verdict"] == "no-isolated-retimer"
+class TestVerdicts:
+    def test_noise_when_isolated_recovers(self, monkeypatch):
+        out = _run(monkeypatch, {"q": 3.0}, {"q": 1.0}, [1.2])
+        assert out["q"]["verdict"] == "noise"
+
+    def test_noise_floor_below_absolute_delta(self, monkeypatch):
+        out = _run(monkeypatch, {"q": 0.9}, {"q": 0.3}, [0.8])
+        assert out["q"]["verdict"] == "noise-floor"
+
+    def test_unflagged_queries_not_retimed(self, monkeypatch):
+        out = _run(monkeypatch, {"q": 1.1}, {"q": 1.0}, [])
+        assert out == {}
+
+
+class TestWindowInflation:
+    def test_loud_window_downgrades_regressed(self, monkeypatch):
+        """Flagged 1.6x with controls also running ~1.5x -> the verdict
+        becomes window-inflation, not regressed."""
+        per_query = {"flagged": 4.8}
+        prev = {"flagged": 3.0, "c1": 3.5, "c2": 2.0, "c3": 1.0}
+        # flagged isolated 4.9 (1.63x), controls at 1.5x each
+        out = _run(
+            monkeypatch, per_query, prev, [4.9, 3.5 * 1.5, 2.0 * 1.5, 1.0 * 1.5]
+        )
+        assert out["flagged"]["verdict"].startswith("window-inflation")
+        wi = out["_window_inflation"]
+        assert wi["controls"] == ["c1", "c2", "c3"]
+        assert wi["median"] == 1.5
+
+    def test_quiet_window_keeps_regressed(self, monkeypatch):
+        """Controls at ~1.0x leave a 2x flagged query 'regressed'."""
+        per_query = {"flagged": 6.0}
+        prev = {"flagged": 3.0, "c1": 3.5, "c2": 2.0, "c3": 1.0}
+        out = _run(monkeypatch, per_query, prev, [6.1, 3.6, 2.0, 1.0])
+        assert out["flagged"]["verdict"] == "regressed"
+        assert out["_window_inflation"]["median"] < 1.1
+
+    def test_controls_exclude_flagged_and_out_of_range(self, monkeypatch):
+        per_query = {"flagged": 6.0}
+        prev = {"flagged": 3.0, "tiny": 0.2, "huge": 9.0, "c1": 2.5}
+        out = _run(monkeypatch, per_query, prev, [6.1, 2.5])
+        assert out["_window_inflation"]["controls"] == ["c1"]
+
+    def test_no_controls_leaves_verdicts_alone(self, monkeypatch):
+        per_query = {"flagged": 6.0}
+        prev = {"flagged": 3.0}
+        out = _run(monkeypatch, per_query, prev, [6.1])
+        assert out["flagged"]["verdict"] == "regressed"
+        assert "_window_inflation" not in out

@@ -32,6 +32,16 @@ REPS = 3
 # delta above the previous round; below the floor the verdict is
 # 'noise-floor'.
 ABS_FLOOR_SEC = 1.0
+# A loud window inflates EVERYTHING, including the isolated re-timing
+# (r6: the whole suite ran ~1.4-1.6x over r5 with zero code change on
+# the flagged paths).  When any query survives to 'regressed', up to
+# CONTROLS non-flagged queries are re-timed the same way; the median of
+# their isolated/prev ratios is the window's inflation factor, and a
+# flagged query whose own ratio sits within CONTROL_SLACK of it is
+# re-verdicted 'window-inflation' — slow box, not slow code.
+CONTROLS = 3
+CONTROL_SLACK = 1.25
+CONTROL_PREV_RANGE = (0.8, 4.0)
 
 
 def previous_bench(repo: str) -> tuple[str | None, dict[str, float]]:
@@ -107,7 +117,43 @@ def recheck_regressions(
             "best_isolated": round(best, 3),
             "verdict": verdict,
         }
+    if any(r["verdict"] == "regressed" for r in out.values()):
+        _apply_window_control(spark, sf_dir, qfns, prev, out, reps)
     return out
+
+
+def _apply_window_control(
+    spark, sf_dir: str, qfns: dict, prev: dict[str, float], out: dict, reps: int
+) -> None:
+    """Re-time stable control queries to measure the window's own
+    inflation; downgrade 'regressed' verdicts that merely track it."""
+    lo, hi = CONTROL_PREV_RANGE
+    controls = sorted(
+        (
+            n
+            for n, p in prev.items()
+            if n not in out and n in qfns and lo <= p <= hi
+        ),
+        key=lambda n: (-prev[n], n),
+    )[:CONTROLS]
+    if not controls:
+        return
+    ratios = []
+    for name in controls:
+        best = _best_of(lambda: qfns[name](spark, sf_dir).collect(), reps)
+        ratios.append(best / prev[name])
+    ratios.sort()
+    window = ratios[len(ratios) // 2]
+    out["_window_inflation"] = {
+        "controls": controls,
+        "ratios": [round(r, 3) for r in ratios],
+        "median": round(window, 3),
+    }
+    for name, r in out.items():
+        if name.startswith("_") or r["verdict"] != "regressed":
+            continue
+        if r["best_isolated"] / r["prev"] <= window * CONTROL_SLACK:
+            r["verdict"] = f"window-inflation(x{window:.2f})"
 
 
 def main() -> None:
