@@ -83,3 +83,19 @@ class TestWindowInflation:
         out = _run(monkeypatch, per_query, prev, [6.1])
         assert out["flagged"]["verdict"] == "regressed"
         assert "_window_inflation" not in out
+
+
+class TestEdges:
+    def test_missing_retimer_is_labeled(self):
+        out = br.recheck_regressions(
+            spark=None,
+            sf_dir="",
+            qfns={},
+            per_query={"extract_transcripts": 9.0},
+            prev={"extract_transcripts": 3.0},
+        )
+        assert out["extract_transcripts"]["verdict"] == "no-isolated-retimer"
+
+    def test_no_baseline_is_skipped(self, monkeypatch):
+        out = _run(monkeypatch, {"new_q": 9.0}, {"new_q": None}, [])
+        assert out == {}
