@@ -108,3 +108,21 @@ class TestPooling:
         md = open(repo / "BENCH" / "BASELINE.md").read()
         assert "local[4] -> local[16] (core-pinned)" in md
         assert "**0.850**" in md  # 170000/(4*50000) survives untouched
+
+    def test_superunity_windows_excluded_from_criterion(
+        self, monkeypatch, tmp_path
+    ):
+        """A same-window ratio >1.0 (narrow leg contended) is excluded:
+        the criterion is the best PHYSICAL ratio; raw legs stay listed."""
+        repo = _setup(
+            monkeypatch,
+            tmp_path,
+            [],
+            [20000.0, 88000.0, 25000.0, 80000.0],  # effs 1.1, 0.8
+        )
+        monkeypatch.setattr(sys, "argv", ["bench_scaling.py", "2"])
+        bs.main()
+        md = open(repo / "BENCH" / "BASELINE.md").read()
+        assert "**0.800**" in md          # best physical window
+        assert "1.100" not in md.split("Raw per-leg")[0]
+        assert "`[1.1, 0.8]`" in md       # raw section keeps real values

@@ -57,7 +57,13 @@ def pooled(recs: list[dict], n: int, n4: int, pin: bool):
     tn = [x for r in mine for x in r["t_n"]]
     t4 = [x for r in mine for x in r["t_4n"]]
     sw = [e for r in mine for e in same_window_effs(r)]
-    return max(tn), max(t4), max(sw), len(mine), mine
+    # a same-window ratio above 1.0 is unphysical for this pipeline and
+    # means that window's NARROW leg was itself contended — such windows
+    # are excluded from the criterion (best PHYSICAL ratio); the raw
+    # uncapped values stay listed per invocation
+    sw_ok = [e for e in sw if e <= 1.0]
+    sw_best = max(sw_ok) if sw_ok else 1.0
+    return max(tn), max(t4), sw_best, len(mine), mine
 
 
 def run_bench(cpus: int, sf_dir: str, pin: bool = False) -> dict:
@@ -160,7 +166,7 @@ same input ({os.cpu_count()} physical cores, shared box).
 """
     for (n, n4, pin) in keys:
         bn, b4, sw_best, k_inv, _ = pooled(recs, n, n4, pin)
-        eff = b4 / (4 * bn)
+        eff = min(b4 / (4 * bn), 1.0)
         tag = " (core-pinned)" if pin else ""
         md += (
             f"| local[{n}] -> local[{n4}]{tag} | {bn:,.1f} "
@@ -169,7 +175,7 @@ same input ({os.cpu_count()} physical cores, shared box).
         )
     (hn, hn4, hpin) = keys[0]
     bn0, b40, pe0, _, _ = pooled(recs, hn, hn4, hpin)
-    eff0 = b40 / (4 * bn0)
+    eff0 = min(b40 / (4 * bn0), 1.0)
     md += f"""
 **Headline scaling efficiency ({hn} -> {hn4}): `{pe0:.3f}` same-window**
 (`{eff0:.3f}` best-of-legs; target >= 0.8, computed as throughput(4N) /
@@ -177,7 +183,13 @@ same input ({os.cpu_count()} physical cores, shared box).
 the same best-of-{rounds}-alternating-rounds protocol
 (BENCH/scaling_runs.jsonl; the sandbox shares hardware — single runs
 swing +-30% with neighbor load, so a loud-window invocation adds legs
-to the record without displacing a quiet window's evidence).
+to the record without displacing a quiet window's evidence).  The
+criterion column is the best PHYSICAL (<= 1.0) same-window ratio: a
+ratio above 1.0 is unphysical for this pipeline and means that
+window's narrow leg was itself contended, so such windows are
+excluded from the criterion — their raw values are still listed per
+invocation below (noise cuts both ways, which is exactly why multiple
+windows are pooled).
 
 The "best same-window pair" column is the criterion number — the
 apples-to-apples variant: each round runs the narrow leg immediately
