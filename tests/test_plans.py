@@ -937,3 +937,19 @@ class TestCurriculumOrderPlan:
         assert "Generate" not in plan
         assert "BroadcastHashJoin" in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestClassifierTrainsetPlan:
+    def test_corpus_shuffle_free(self, spark):
+        """The labeled-trainset build never shuffles the corpus: token
+        stats are JVM-side (no Generate), the (n_pos, n_neg) stats row
+        is a 1-row broadcast, and negative sampling is a stateless hash
+        filter — zero hash Exchanges, no window, no global sort funnel."""
+        from unraveldocs_spark.trainingdata import q_classifier_trainset
+
+        plan = plan_of(q_classifier_trainset(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "Generate" not in plan
+        assert "Window" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        assert plan.count("Exchange hashpartitioning") == 0

@@ -1219,3 +1219,43 @@ class TestCurriculumOrder:
         _write_docs(spark, tmp_path, [("   ", "en"), ("ab", "en")])
         rows = q_curriculum_order(spark, str(tmp_path)).collect()
         assert [r["doc_id"] for r in rows] == [1]
+
+
+class TestClassifierTrainset:
+    def test_all_positive_corpus_has_no_negatives(self, spark, tmp_path):
+        """n_neg = 0 -> threshold 0 -> output is exactly the positives,
+        every row labeled 1."""
+        from unraveldocs_spark.trainingdata import q_classifier_trainset
+
+        fluent = "the cat sat on the mat and the dog sat in the yard " \
+                 "for it is a fine day to sit on a mat"
+        _write_docs(spark, tmp_path, [(fluent, "en"), (fluent, "en")])
+        rows = q_classifier_trainset(spark, str(tmp_path)).collect()
+        assert len(rows) == 2
+        assert all(r["label"] == 1 for r in rows)
+
+    def test_gate_requires_stopword_density(self, spark, tmp_path):
+        """An en doc with >= 20 tokens but stopword density < 0.1 is NOT
+        a positive (it may appear as a sampled negative, labeled 0)."""
+        from unraveldocs_spark.trainingdata import q_classifier_trainset
+
+        dry = " ".join(f"w{i}" for i in range(25))
+        _write_docs(spark, tmp_path, [(dry, "en")])
+        rows = q_classifier_trainset(spark, str(tmp_path)).collect()
+        assert all(r["label"] == 0 for r in rows)
+
+    def test_zero_positive_corpus_is_empty(self, spark, tmp_path):
+        """No positives -> threshold 0 -> no negatives sampled either."""
+        from unraveldocs_spark.trainingdata import q_classifier_trainset
+
+        _write_docs(spark, tmp_path, [("uno dos tres", "es"), ("kurz", "de")])
+        assert q_classifier_trainset(spark, str(tmp_path)).count() == 0
+
+    def test_features_are_integer_exact(self, spark, tmp_path):
+        from unraveldocs_spark.trainingdata import q_classifier_trainset
+
+        fluent = ("the a of and to in is for on it " * 2).strip()  # 20 toks
+        _write_docs(spark, tmp_path, [(fluent, "en")])
+        [r] = q_classifier_trainset(spark, str(tmp_path)).collect()
+        assert r["n_tok"] == 20 and r["n_stop"] == 20
+        assert r["mean_tok_len_e6"] == (1_000_000 * len(fluent)) // 20

@@ -5350,3 +5350,132 @@ TRAINING_REGISTRY.update(
         },
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier training-set construction (the GPT-3/LLaMA fastText
+# recipe: curated positives vs hash-sampled balanced negatives)
+# ---------------------------------------------------------------------------
+
+def q_classifier_trainset(spark, sf_dir):
+    """Build the labeled training set for a document-quality classifier
+    (the GPT-3 / LLaMA data recipe: positives = a curated high-quality
+    slice, negatives = a random sample of the rest, roughly balanced).
+    Positives pass an integer-exact fluency gate (``lang = 'en'``,
+    >= 20 tokens, stopword density >= 0.1 as ``n_stop * 10 >= n_tok``);
+    negatives are kept when a doc_id-derived md5 bucket falls under the
+    balance threshold ``(1e6 * n_pos) DIV n_neg`` — deterministic on
+    both engines, no RNG, approximately 1:1 by construction.  Features
+    ride along per row (token count, stopword count, mean token length
+    e6) so the output IS the classifier's input table.
+
+    Scale shape: token stats stay JVM-side (``size(filter(split))`` —
+    no explode); the (n_pos, n_neg) stats row is a single-row broadcast;
+    negative sampling is a stateless hash filter.  No global sort or
+    window anywhere, so the plan is one scan + one 1-row agg + a
+    broadcast nested-loop join — shuffle-free on the corpus at any
+    scale.  The exact-count alternative (rank negatives and take the
+    first n_pos) needs a global row_number and is the classic
+    single-partition funnel; the hash threshold trades exact balance
+    for a scan-local decision."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    base = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    ).filter(F.col("n_tok") > 0)
+    base = base.withColumn(
+        "is_pos",
+        (F.col("lang") == "en")
+        & (F.col("n_tok") >= 20)
+        & (F.col("n_stop") * 10 >= F.col("n_tok")),
+    ).withColumn(
+        "bucket_e6",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(1_000_000),
+        ),
+    )
+    stats = base.agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    return (
+        base.join(F.broadcast(stats))
+        .withColumn(
+            "thr_e6",
+            F.expr(
+                "CASE WHEN n_neg = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((1000000 * n_pos) DIV n_neg AS BIGINT) END"
+            ),
+        )
+        .filter(F.col("is_pos") | (F.col("bucket_e6") < F.col("thr_e6")))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("is_pos"), 1).otherwise(0).cast("int").alias("label"),
+            "n_tok",
+            "n_stop",
+            F.expr("CAST((1000000 * n_chars) DIV n_tok AS BIGINT)").alias(
+                "mean_tok_len_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CLASSIFIER_TRAINSET = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> list_contains({list(_STOPWORDS)!r}, x)))
+              AS BIGINT) AS n_stop
+  FROM documents WHERE text IS NOT NULL
+), gated AS (
+  SELECT *,
+         (lang = 'en' AND n_tok >= 20 AND n_stop * 10 >= n_tok) AS is_pos,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS bucket_e6
+  FROM base WHERE n_tok > 0
+), stats AS (
+  SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM gated
+)
+SELECT doc_id, lang,
+       CAST(CASE WHEN is_pos THEN 1 ELSE 0 END AS INT) AS label,
+       n_tok, n_stop,
+       CAST((1000000 * n_chars) // n_tok AS BIGINT) AS mean_tok_len_e6
+FROM gated CROSS JOIN stats
+WHERE is_pos OR bucket_e6 <
+      (CASE WHEN n_neg = 0 THEN 0 ELSE (1000000 * n_pos) // n_neg END)
+ORDER BY doc_id
+"""
+
+
+TRAINING_REGISTRY.update(
+    {
+        "classifier_trainset": {
+            "builder": q_classifier_trainset,
+            "sql": SQL_CLASSIFIER_TRAINSET,
+        },
+    }
+)
