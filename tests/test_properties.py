@@ -100,6 +100,17 @@ class TestDomwalkProperties:
         for start, end, kind in spans:
             assert 0 <= start <= end <= len(text)
 
+    @given(text_st)
+    @settings(max_examples=150)
+    def test_spans_sorted_and_disjoint(self, raw):
+        """Spans are emitted in document order and never overlap — the
+        join_blocks cursor only moves forward (the span-offset contract
+        downstream consumers rely on)."""
+        _, spans = join_blocks(plain_blocks(raw))
+        for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+            assert s1 <= s2
+            assert e1 <= s2
+
 
 class TestOracleProperties:
     @given(
@@ -119,6 +130,8 @@ class TestOracleProperties:
             assert r.extracted_text is not None
             for s, e, _ in r.spans:
                 assert 0 <= s <= e <= len(r.extracted_text)
+            for (s1, e1, _), (s2, e2, _) in zip(r.spans, r.spans[1:]):
+                assert s1 <= s2 and e1 <= s2  # document order, disjoint
 
     @given(st.one_of(st.none(), text_st))
     @settings(max_examples=200)
