@@ -953,3 +953,21 @@ class TestClassifierTrainsetPlan:
         assert "Window" not in plan
         assert plan.count("BroadcastNestedLoopJoin") == 1
         assert plan.count("Exchange hashpartitioning") == 0
+
+
+class TestDedupIncrementPlan:
+    def test_asymmetric_band_join_batch_filter_pushed(self, spark):
+        """The increment never pairs existing x existing: the b-side of
+        the band join is the new batch only, and its doc_id >= t filter
+        reaches the parquet scan."""
+        from unraveldocs_spark.trainingdata import q_dedup_increment
+
+        df = q_dedup_increment(spark, SF)
+        plan = plan_of(df, "simple")
+        assert "CartesianProduct" not in plan
+        fmt = plan_of(df, "formatted")
+        pushed = [
+            l for l in fmt.splitlines()
+            if "PushedFilters" in l and "GreaterThanOrEqual(doc_id" in l
+        ]
+        assert len(pushed) >= 2  # bands_new branch AND newdocs branch

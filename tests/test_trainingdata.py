@@ -1259,3 +1259,80 @@ class TestClassifierTrainset:
         [r] = q_classifier_trainset(spark, str(tmp_path)).collect()
         assert r["n_tok"] == 20 and r["n_stop"] == 20
         assert r["mean_tok_len_e6"] == (1_000_000 * len(fluent)) // 20
+
+
+class TestDedupIncrement:
+    def test_existing_duplicate_detected(self, spark, tmp_path):
+        """ids 0..4 -> t = 3, batch = {3, 4}; doc 3 repeats existing doc
+        0 (dup_of = 0, dropped), doc 4 is unique (kept)."""
+        from unraveldocs_spark.trainingdata import q_dedup_increment
+
+        dup = "alpha beta gamma delta epsilon zeta"
+        _write_docs(
+            spark,
+            tmp_path,
+            [
+                (dup, "en"),
+                ("one two three four five six", "en"),
+                ("sieben acht neun zehn elf", "de"),
+                (dup, "en"),
+                ("totally different words here now", "en"),
+            ],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in q_dedup_increment(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {3, 4}
+        assert rows[3]["dup_of"] == 0 and rows[3]["keep"] == 0
+        assert rows[3]["n_existing_matches"] >= 1
+        assert rows[3]["n_batch_matches"] == 0
+        assert rows[4]["dup_of"] is None and rows[4]["keep"] == 1
+
+    def test_within_batch_duplicate_keeps_earliest(self, spark, tmp_path):
+        """Batch docs 3 and 4 duplicate each other but nothing existing:
+        4 drops against 3; 3 survives."""
+        from unraveldocs_spark.trainingdata import q_dedup_increment
+
+        dup = "lorem ipsum dolor sit amet consectetur"
+        _write_docs(
+            spark,
+            tmp_path,
+            [
+                ("one two three four five six", "en"),
+                ("sieben acht neun zehn elf zwolf", "de"),
+                ("unique middle doc content words", "en"),
+                (dup, "en"),
+                (dup, "en"),
+            ],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in q_dedup_increment(spark, str(tmp_path)).collect()
+        }
+        assert rows[4]["dup_of"] == 3 and rows[4]["keep"] == 0
+        assert rows[4]["n_batch_matches"] >= 1
+        assert rows[4]["n_existing_matches"] == 0
+        assert rows[3]["keep"] == 1
+
+    def test_below_jaccard_threshold_not_a_match(self, spark, tmp_path):
+        """A batch doc sharing one bigram with an existing doc (jaccard
+        << 0.5) stays kept even if a band collides."""
+        from unraveldocs_spark.trainingdata import q_dedup_increment
+
+        _write_docs(
+            spark,
+            tmp_path,
+            [
+                ("alpha beta x1 x2 x3 x4 x5 x6 x7 x8", "en"),
+                ("filler doc number two words", "en"),
+                ("filler doc number three words", "en"),
+                ("alpha beta y1 y2 y3 y4 y5 y6 y7 y8", "en"),
+                ("another unique closing doc", "en"),
+            ],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in q_dedup_increment(spark, str(tmp_path)).collect()
+        }
+        assert rows[3]["keep"] == 1 and rows[3]["dup_of"] is None

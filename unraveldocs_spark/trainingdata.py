@@ -248,6 +248,39 @@ def _minhash_candidate_pairs(d, n_bands: int | None = None,
         n_rows = n_rows if n_rows is not None else auto_rows
     assert n_bands * n_rows <= _MH_K, (n_bands, n_rows, _MH_K)
     d = d.withColumn("hs", _spark_shingle_hashes(F.col("sh")))
+    # The shingle array RIDES THROUGH the band explode here (4x data)
+    # rather than joining back per side: MinHash band keys are
+    # 42-bit-hash tuples, so buckets — and candidate pairs — are rare,
+    # and re-deriving the shingles+minhashes for two join-back branches
+    # costs far more than shuffling them once (measured 4s vs 52s at
+    # sf0.1).  Contrast q_dedup_embedding_cosine, whose 4-bit band values
+    # make candidates dense: there the narrow-candidates + join-back
+    # shape wins.
+    bands = _minhash_bands(d, n_bands, n_rows)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _minhash_bands(d, n_bands: int, n_rows: int):
+    """(doc_id, sh, hs) -> exploded LSH band rows (doc_id, sh, band_idx,
+    band_key).  The signature table shape a production increment pipeline
+    PERSISTS between runs; shared by the symmetric pair builder above and
+    the asymmetric new-batch join in q_dedup_increment."""
 
     def _min_hash(j):
         # one-arg lambda: pyspark would bind a 2nd arg to the array index
@@ -261,15 +294,7 @@ def _minhash_candidate_pairs(d, n_bands: int | None = None,
 
     mins = [_min_hash(j) for j in range(n_bands * n_rows)]
     sigs = d.select("doc_id", "sh", *mins)
-    # The shingle array RIDES THROUGH the band explode here (4x data)
-    # rather than joining back per side: MinHash band keys are
-    # 42-bit-hash tuples, so buckets — and candidate pairs — are rare,
-    # and re-deriving the shingles+minhashes for two join-back branches
-    # costs far more than shuffling them once (measured 4s vs 52s at
-    # sf0.1).  Contrast q_dedup_embedding_cosine, whose 4-bit band values
-    # make candidates dense: there the narrow-candidates + join-back
-    # shape wins.
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         "sh",
         F.explode(
@@ -290,23 +315,6 @@ def _minhash_candidate_pairs(d, n_bands: int | None = None,
             )
         ).alias("band"),
     ).select("doc_id", "sh", "band.band_idx", "band.band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -5476,6 +5484,126 @@ TRAINING_REGISTRY.update(
         "classifier_trainset": {
             "builder": q_classifier_trainset,
             "sql": SQL_CLASSIFIER_TRAINSET,
+        },
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup screening: new batch vs persisted corpus signatures
+# (the only feasible dedup shape for daily increments at 100 TB)
+# ---------------------------------------------------------------------------
+
+def q_dedup_increment(spark, sf_dir):
+    """Near-dup screening of a NEW BATCH against an existing corpus —
+    the production increment shape: re-deduping 100 TB from scratch per
+    ingest is infeasible, so the corpus's LSH band signatures persist
+    between runs and each increment joins against them.  The batch here
+    is the top fifth of doc_id space (t = (4*max_id) DIV 5, id order =
+    arrival order); the a-side is the FULL signature table (existing +
+    batch, so within-batch duplicates are caught by the same join with
+    a.doc_id < b.doc_id), the b-side only the new batch.  A confirmed
+    match is exact shingle Jaccard >= 0.5 (integer test 2*inter >= union).
+    Output per new doc: match counts split existing-vs-batch, the
+    earliest matched doc (dup_of, NULL when unique), and the keep
+    verdict.
+
+    Scale shape: the asymmetric band join is the whole point — the
+    b-side (one day's increment) is tiny next to the persisted a-side,
+    and the join shuffles on data-dependent (band_idx, band_key) buckets
+    only; nothing ever pairs existing x existing.  The batch threshold
+    is one bounded 1-row agg; the final LEFT join keeps unique new docs
+    (the common case) flowing through without matches."""
+    docs = _t(spark, sf_dir, "documents")
+    n_bands, n_rows = minhash_band_shape(docs.count())
+    t = int(
+        docs.agg(F.expr("CAST((4 * MAX(doc_id)) DIV 5 AS BIGINT)")).collect()[
+            0
+        ][0]
+    )
+    nz = (
+        docs.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("hs", _spark_shingle_hashes(F.col("sh")))
+    )
+    bands_all = _minhash_bands(nz, n_bands, n_rows)
+    bands_new = _minhash_bands(nz.filter(F.col("doc_id") >= t), n_bands, n_rows)
+    a, b = bands_all.alias("a"), bands_new.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("other"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_id", "other"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    conf = cands.filter(F.lit(2) * inter >= union).select("doc_id", "other")
+    newdocs = nz.filter(F.col("doc_id") >= t).select("doc_id")
+    return (
+        newdocs.join(conf, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("other") < t, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_existing_matches"),
+            F.sum(F.when(F.col("other") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_batch_matches"),
+            F.min("other").cast("bigint").alias("dup_of"),
+        )
+        .select(
+            "doc_id",
+            "n_existing_matches",
+            "n_batch_matches",
+            "dup_of",
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_INCREMENT = f"""
+WITH {{ctes}}, thr AS (
+  SELECT CAST((4 * MAX(doc_id)) // 5 AS BIGINT) AS t FROM documents
+), m AS (
+  SELECT c.doc_b AS doc_id, c.doc_a AS other,
+         len(list_intersect(c.sh_a, c.sh_b)) AS inter,
+         len(c.sh_a) + len(c.sh_b) - len(list_intersect(c.sh_a, c.sh_b)) AS uni
+  FROM cands c CROSS JOIN thr WHERE c.doc_b >= thr.t
+), conf AS (
+  SELECT doc_id, other FROM m WHERE 2 * inter >= uni
+), newdocs AS (
+  SELECT doc_id FROM nz CROSS JOIN thr WHERE doc_id >= thr.t
+)
+SELECT n.doc_id,
+       CAST(SUM(CASE WHEN c.other < thr.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_existing_matches,
+       CAST(SUM(CASE WHEN c.other >= thr.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_batch_matches,
+       CAST(MIN(c.other) AS BIGINT) AS dup_of,
+       CAST(CASE WHEN MIN(c.other) IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM newdocs n LEFT JOIN conf c USING (doc_id) CROSS JOIN thr
+GROUP BY n.doc_id
+ORDER BY n.doc_id
+""".format(ctes=_duck_minhash_cands_ctes("documents"))
+
+
+TRAINING_REGISTRY.update(
+    {
+        "dedup_increment": {
+            "builder": q_dedup_increment,
+            "sql": SQL_DEDUP_INCREMENT,
         },
     }
 )
