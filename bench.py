@@ -141,6 +141,8 @@ HEADLINE_QUERIES = (
     "best_of_n",
     "domain_mix",
     "curriculum_order",
+    "classifier_trainset",
+    "dedup_increment",
 )
 
 
