@@ -5511,9 +5511,14 @@ def q_dedup_increment(spark, sf_dir):
     Scale shape: the asymmetric band join is the whole point — the
     b-side (one day's increment) is tiny next to the persisted a-side,
     and the join shuffles on data-dependent (band_idx, band_key) buckets
-    only; nothing ever pairs existing x existing.  The batch threshold
-    is one bounded 1-row agg; the final LEFT join keeps unique new docs
-    (the common case) flowing through without matches."""
+    only; nothing ever pairs existing x existing.  Measured
+    (BENCH/INCREMENT_SCALE.md): a fixed 500-doc batch against a corpus
+    growing 16x (5k -> 80k docs) holds batch-side candidate pairs
+    absolutely flat (296 -> 271 -> 271) — ``minhash_band_shape``
+    widening at the 8k boundary is what keeps them from curving up.
+    The batch threshold is one bounded 1-row agg; the final LEFT join
+    keeps unique new docs (the common case) flowing through without
+    matches."""
     docs = _t(spark, sf_dir, "documents")
     n_bands, n_rows = minhash_band_shape(docs.count())
     t = int(
