@@ -26,6 +26,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t plus scale-adaptive scan fan-out (scanfan.fan_out): spreads
+    heavy per-row work above single-row-group driver parquet across all
+    cores; identity when the input already splits to >= core count."""
+    from .scanfan import fan_out
+
+    return fan_out(spark, _t(spark, sf_dir, name), f"{sf_dir}/{name}.parquet")
+
+
 # ---------------------------------------------------------------------------
 # Flagship: pricing-summary scan+agg (the admin-stats style GROUP BY of
 # DocumentCollectionRepository.java:24-37, at lineitem scale)
@@ -1064,7 +1073,7 @@ def q_search_ranked(spark, sf_dir):
     as ROUND(score*100) BIGINT (exact: 2a + 1.5b + c is a multiple of
     0.5)."""
     q = _SR_QUERY
-    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
+    d = _tf(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
     fname = F.lower(
         F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))
     )
@@ -1126,11 +1135,13 @@ def q_search_bm25(spark, sf_dir):
     corpus stats (N, sum_dl, per-term df) are ONE global aggregate row
     broadcast back — a single Exchange, then an embarrassingly parallel
     scoring scan + TakeOrdered."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
-    stop_arr = F.array(*[F.lit(w) for w in ES_ENGLISH_STOPWORDS])
+    d = _tf(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
+    # isin -> codegen InSet hash probe per token (array_contains was a
+    # 33-element linear scan per token); identical membership semantics
+    stops = list(ES_ENGLISH_STOPWORDS)
     toks = F.filter(
         F.split(F.lower(F.col("text")), _SR_TOKEN_SPLIT),
-        lambda t: (t != F.lit("")) & ~F.array_contains(stop_arr, t),
+        lambda t: (t != F.lit("")) & ~t.isin(*stops),
     )
     fname = F.lower(
         F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))
@@ -1143,7 +1154,9 @@ def q_search_bm25(spark, sf_dir):
             F.size(F.filter(toks, _eq_lit(t))).cast("bigint").alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
-    )
+    # narrow per-doc stats table consumed twice (corpus stats agg + the
+    # scoring join): truncate lineage so the tokenizing scan runs once
+    ).localCheckpoint()
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -1917,7 +1930,7 @@ def q_ai_enrich(spark, sf_dir):
     CLASSIFY_DEFAULTS triple; valid JSON missing a field gets per-field
     defaults ('other', '', 0.5).  Scale shape: pure narrow transforms,
     zero shuffles before the final presentation sort."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     status = (
         F.when(F.col("doc_id") % 10 < 7, F.lit("COMPLETED"))
         .when(F.col("doc_id") % 10 < 9, F.lit("FAILED"))
@@ -2070,7 +2083,7 @@ def q_storage_admission(spark, sf_dir):
     Exchange is the per-owner admission window, keyed by owner pool —
     team pools are the natural hot keys and would be salted upstream
     exactly like the conv_id extraction pipeline."""
-    e = _t(spark, sf_dir, "events")
+    e = _tf(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer")
     ck = F.col("c_custkey")
     team_id = (ck % 40).cast("bigint")
@@ -2373,7 +2386,7 @@ def q_search_phrase(spark, sf_dir):
     ``try_element_at`` lookahead, NULL-safe at the array tail), so the
     whole query is one embarrassingly parallel scan plus the
     presentation sort; the lang filter pushes to the parquet scan."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
+    d = _tf(spark, sf_dir, "documents").filter(F.col("lang") == _SR_LANG)
     toks = F.filter(
         F.split(F.lower(F.col("text")), _SR_TOKEN_SPLIT),
         lambda t: t != F.lit(""),

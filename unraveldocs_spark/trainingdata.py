@@ -23,10 +23,20 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .generator import mix64
+from .scanfan import fan_out
 
 
 def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tf(spark, sf_dir, name):
+    """_t plus scale-adaptive scan fan-out: when the parquet input has
+    fewer row groups than cores (single-row-group driver files), the
+    heavy per-row work above the scan would run on 1-2 tasks; a
+    round-robin repartition spreads it.  Identity at production scale
+    (see scanfan.fan_out)."""
+    return fan_out(spark, _t(spark, sf_dir, name), f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +136,8 @@ def _jaccard_pairs(spark, sf_dir):
     inherit an ORDER BY it immediately discards."""
     docs = _t(spark, sf_dir, "documents")
     cands = _minhash_candidate_pairs(
-        docs.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        _tf(spark, sf_dir, "documents")
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
         .filter(F.size("sh") > 0),
         shape_n=docs.count(),  # metadata-cheap parquet count
     )
@@ -324,7 +335,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     key, join within buckets only."""
     docs = _t(spark, sf_dir, "documents")
     cands = _minhash_candidate_pairs(
-        docs.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        _tf(spark, sf_dir, "documents")
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
         .filter(F.size("sh") > 0),
         shape_n=docs.count(),
     )
@@ -514,7 +526,7 @@ def q_dedup_paragraph(spark, sf_dir):
     banded join's scale properties (never O(n^2/#blocks)).  Output decodes
     para_id back to (doc, para_idx) and carries each side's exact-copy
     count, so both stages are driver-hash-verified in one result."""
-    paras = _paragraphs(_t(spark, sf_dir, "documents")).withColumn(
+    paras = _paragraphs(_tf(spark, sf_dir, "documents")).withColumn(
         "para_id", F.col("doc_id") * _PARA_STRIDE + F.col("para_idx")
     )
     keepers = (
@@ -525,6 +537,10 @@ def q_dedup_paragraph(spark, sf_dir):
             F.min("para").alias("para"),  # all rows in a group are identical
         )
         .select("para_id", "n_copies", "para")
+        # distinct-paragraph table, read twice (shingle bands + the two
+        # copies joins): materialize once instead of re-running the
+        # explode + md5 groupBy per reader
+        .localCheckpoint()
     )
     # shape_n: the banded universe is PARAGRAPHS (~10-20x docs), so the
     # measured log-rule must see a paragraph count, not the raw doc
@@ -653,8 +669,8 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     driver scales, oracle-mirrored)."""
     from .similarity import EMB_DIM, signature_stage
 
-    e = _t(spark, sf_dir, "embeddings")
-    band_bits = embedding_band_bits(e.count())
+    band_bits = embedding_band_bits(_t(spark, sf_dir, "embeddings").count())
+    e = _tf(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = (
@@ -832,7 +848,7 @@ FROM t ORDER BY doc_id
 def q_quality_score(spark, sf_dir):
     """Deterministic quality heuristics: mean word length (scaled),
     punctuation count, unique-word ratio (scaled) — all integer outputs."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.size(toks)
     n_unique = F.size(F.array_distinct(toks))
@@ -868,7 +884,7 @@ _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def q_token_count(spark, sf_dir):
     """BPE-ish regex pre-tokenization count (letters / digits / single
     punctuation), plus whitespace token count."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0)))
     return d.select(
@@ -1194,8 +1210,10 @@ def q_knn_join(spark, sf_dir):
     log2(n) per the same rule."""
     from .similarity import EMB_DIM, signature_stage
 
-    e = _t(spark, sf_dir, "embeddings")
-    band_bits = knn_band_bits(e.count())  # measured rule, 8 at driver scales
+    band_bits = knn_band_bits(  # measured rule, 8 at driver scales
+        _t(spark, sf_dir, "embeddings").count()
+    )
+    e = _tf(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = e.select("vec_id", dv.alias("v"), norm.alias("nrm")).select(
@@ -1635,7 +1653,7 @@ def q_props_extract(spark, sf_dir):
     extraction never leaves the executor; one shuffle for the low-
     cardinality groupBy.  Mean emitted via integer DIV (sum + count ride
     along), per the FP-parity rules."""
-    e = _t(spark, sf_dir, "events")
+    e = _tf(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
         e.select("event_type", k.alias("k"))
@@ -1757,7 +1775,7 @@ def q_quality_perplexity(spark, sf_dir):
     deterministic hash LM, emitted integer-exact (sum + count + DIV mean;
     no float crosses the engine boundary).  Lower mean_nll_e4 = more
     'predictable' text — the Gopher/CCNet-style quality gate signal."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -1907,7 +1925,7 @@ def q_corpus_prep(spark, sf_dir):
     stopword-ratio floor (real-language signal); (2) exact dedup keeping
     the lowest doc_id per content hash; (3) per-lang corpus stats.  All
     JVM built-ins; two shuffles total (dedup groupBy, stats groupBy)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -1971,7 +1989,7 @@ def q_corpus_build_full(spark, sf_dir):
     bounded propagation loop over PAIRS only (tiny), sampling is a
     broadcast + filter, stats one groupBy.  Each stage drops rows before
     the next pays for them — the ordering a 100-TB corpus build uses."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -1990,12 +2008,17 @@ def q_corpus_build_full(spark, sf_dir):
         .select("doc_id")
     )
     kept = gated.join(exact_keepers, "doc_id", "left_semi")
+    # the gate+exact-dedup survivor table is read twice below (near-dup
+    # shingles, final resolution); materialize it once — the standard
+    # corpus-build shape, each stage's output persisted before the next
+    # (recomputing it re-ran the stopword gate + md5 groupBy per reader)
+    kept = kept.localCheckpoint()
     # shape_n from the cheap base-table count (upper bound on the gate
     # survivors the bands actually see)
     cands = _minhash_candidate_pairs(
         kept.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
         .filter(F.size("sh") > 0),
-        shape_n=d.count(),
+        shape_n=_t(spark, sf_dir, "documents").count(),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -2099,7 +2122,7 @@ def q_quality_gopher(spark, sf_dir):
     — no shuffle at all until the presentation orderBy; at 100 TB this
     runs at scan speed and the gate verdict feeds the corpus-build
     filter (`q_corpus_build_full`) without materializing rejects."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.size(toks)
     mwl_e2 = F.round(
@@ -2156,13 +2179,15 @@ def q_quality_repetition(spark, sf_dir):
     and top-bigram dominance (most frequent word bigram's share of all
     bigrams).  High values flag boilerplate / keyword-stuffed documents.
 
-    Scale shape: explode bigrams -> groupBy (doc_id, bigram) with map-side
-    partial aggregation -> groupBy doc_id for the max/sum.  This is the
-    distributed shape — a per-row O(L^2) higher-order-function count would
-    be JVM-local but quadratic in document length, which 30k-char
-    documents rule out.  Documents with < 2 words have no bigrams and are
+    Scale shape (r7): the top-bigram count is computed PER ROW — sort the
+    bigram array and fold the longest equal-run (O(L log L) JVM-local,
+    fine even at the 30k-char document cap) — so the query is one
+    embarrassingly parallel scan with ZERO hash Exchanges (the r6 shape
+    exploded every bigram through two groupBy shuffles; the corpus-sized
+    explode+shuffle bought nothing because the aggregation key is
+    doc-local).  Documents with < 2 words have no bigrams and are
     excluded (both engines agree by construction)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -2170,18 +2195,36 @@ def q_quality_repetition(spark, sf_dir):
         F.slice(toks, 2, n - 1),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
-    base = d.select(
-        "doc_id",
-        n.alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.explode(bigrams).alias("bigram"),
-    )
-    per_bigram = base.groupBy("doc_id", "n_words", "n_distinct", "bigram").agg(
-        F.count(F.lit(1)).alias("c")
+    # longest equal-run over the sorted bigram array == max bigram
+    # multiplicity; NULL-seeded prev makes the first element start run=1
+    top_c = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return (
-        per_bigram.groupBy("doc_id", "n_words", "n_distinct")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("nb"))
+        d.select(
+            "doc_id",
+            n.alias("n_words"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            top_c.alias("top_c"),
+            F.size(bigrams).alias("nb"),
+        )
+        .filter(F.col("nb") > 0)
         .select(
             "doc_id",
             "n_words",
@@ -2240,9 +2283,11 @@ def q_line_dedup(spark, sf_dir):
     cross-corpus frequency table has one row per DISTINCT chunk, so its
     size tracks content diversity, not corpus size; no broadcast is
     assumed (at 100 TB it exceeds driver memory)."""
-    paras = _paragraphs(_t(spark, sf_dir, "documents")).withColumn(
+    paras = _paragraphs(_tf(spark, sf_dir, "documents")).withColumn(
         "h", F.md5(F.col("para").cast("binary"))
-    )
+    # the chunk table feeds the corpus-wide frequency AND the join back:
+    # materialize it once (C4 pipelines persist the line/chunk table)
+    ).localCheckpoint()
     freq = paras.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
     flagged = paras.join(freq, "h").withColumn(
         "keep", F.col("n_docs") < _CHUNK_DROP_MIN_DOCS
@@ -2394,7 +2439,7 @@ def q_contamination_check(spark, sf_dir):
     (eval suites are MBs, the corpus is TBs), so it is explicitly
     F.broadcast — the corpus side never shuffles; one groupBy(doc_id)
     aggregates the hit counts."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _tf(spark, sf_dir, "documents").select(
         "doc_id", _spark_shingles(F.col("text")).alias("sh")
     )
     bench_sh = (
@@ -2593,7 +2638,7 @@ def q_corpus_export_shards(spark, sf_dir):
     re-packs existing shards."""
     from pyspark.sql.window import Window
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.size(toks)
     mwl_e2 = F.round(
@@ -2615,7 +2660,10 @@ def q_corpus_export_shards(spark, sf_dir):
 
     # C4 chunk drop: frequency over the FULL corpus, drop applied to
     # gated docs; per-doc surviving token count from the kept chunks
-    paras = _paragraphs(d).withColumn("h", F.md5(F.col("para").cast("binary")))
+    # chunk table read twice (frequency + kept-token rollup): materialize
+    paras = _paragraphs(d).withColumn(
+        "h", F.md5(F.col("para").cast("binary"))
+    ).localCheckpoint()
     freq = paras.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
     kept_tokens = (
         paras.join(freq, "h")
@@ -2816,7 +2864,7 @@ def q_fuzzy_search(spark, sf_dir):
     groupBy(doc_id) — the token scan never computes a distance.  This is
     how fuzzy search actually deploys: dictionary-side expansion, not
     per-document string comparison."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     )
@@ -2868,7 +2916,7 @@ def q_event_type_pivot(spark, sf_dir):
 
     Scale shape: one groupBy(user_id) shuffle; the pivot is a conditional
     aggregation inside the same hash aggregate, not a join."""
-    e = _t(spark, sf_dir, "events")
+    e = _tf(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
     piv = (
         e.select("user_id", "event_type", cents.alias("c"))
@@ -4220,24 +4268,30 @@ def q_exact_substring_dedup(spark, sf_dir):
     compare harness.
 
     Mechanics: (1) every in-doc k-gram emits (gram-hash, doc, pos);
-    (2) one groupBy(gram-hash) counts corpus-wide occurrences; grams
-    with count >= 2 are duplicated — INCLUDING both copies, as in the
-    paper (all occurrences are removed, which is safe because training
-    text lost this way is pure repetition); (3) a token at position p is
-    covered iff some duplicated gram starts in [p-k+1, p] — a windowed
-    MAX over the per-token dup-start flags, NOT a range join; (4) the
-    survivors rebuild in token order via the same window partitioning.
+    (2) corpus-wide occurrence counts come from ONE window count over
+    the gram hash — the explode+md5 pass is computed a single time
+    (the r6 groupBy + join-back shape evaluated it twice, once per join
+    branch); grams with count >= 2 are duplicated — INCLUDING both
+    copies, as in the paper (all occurrences are removed, which is safe
+    because training text lost this way is pure repetition); (3) the
+    duplicated start positions fold back to ONE narrow array per doc,
+    and coverage — token at p covered iff some duplicated gram starts
+    in [p-k+1, p] — plus the surviving-text digest are pure doc-local
+    array expressions.  The r6 shape instead exploded every TOKEN
+    through a (doc,pos) join, a coverage window and a collect_list
+    groupBy — three corpus-sized Exchanges this removes outright.
 
-    Scale shape: one Exchange on gram hash (count), one on doc_id (the
-    coverage window); both keys are uniform.  The gram explode is k x
-    corpus tokens — the same constant factor every shingle stage pays;
-    grams stay 14-char hashes, never raw text."""
+    Scale shape: one Exchange on gram hash (count; a pathologically hot
+    boilerplate gram would be salted into a two-level count at 100 TB —
+    same semantics), one tiny Exchange on doc_id (dup starts only), one
+    Exchange of the doc text for the join back.  The gram explode is
+    k x corpus tokens — the same constant factor every shingle stage
+    pays; grams stay 14-char hashes, never raw text."""
     from pyspark.sql.window import Window
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tok = F.size(toks)
-    base = d.select("doc_id", toks.alias("toks"), n_tok.alias("n_tokens"))
+    base = d.select("doc_id", toks.alias("toks"))
 
     # guard: Spark sequence(0, -1) counts DOWN; docs shorter than k emit
     # no grams via an explicit empty array
@@ -4262,56 +4316,43 @@ def q_exact_substring_dedup(spark, sf_dir):
             )
         ).alias("pos", "gh"),
     )
-    dup_grams = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_starts = (
+        grams.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
         .filter(F.col("n_occ") >= 2)
-        .select("gh")
+        .select("doc_id", "pos")
     )
-    dup_starts = grams.join(dup_grams, "gh").select(
-        "doc_id", "pos", F.lit(1).alias("dup_start")
+    dup_pos = dup_starts.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("dps")
     )
-
-    tok_rows = base.select(
-        "doc_id", "n_tokens", F.posexplode(F.col("toks")).alias("pos", "tok")
-    ).join(dup_starts, ["doc_id", "pos"], "left")
-    w_cov = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_ESUB_K - 1), Window.currentRow)
+    joined = base.join(dup_pos, "doc_id", "left")
+    dps = F.coalesce(F.col("dps"), F.array().cast("array<int>"))
+    # per-position coverage mask; |dps| is small, positions are ~doc
+    # length, so the exists scan is doc-local and cheap
+    covered = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda p: F.exists(
+            dps, lambda s: (s >= p - (_ESUB_K - 1)) & (s <= p)
+        ),
     )
-    covered = F.max(F.coalesce(F.col("dup_start"), F.lit(0))).over(w_cov)
-    marked = tok_rows.select(
-        "doc_id", "n_tokens", "pos", "tok", covered.alias("covered")
+    kept_str = F.array_join(
+        F.zip_with(
+            F.col("toks"),
+            covered,
+            lambda t, c: F.when(~c, t),  # NULLs (covered) are skipped
+        ),
+        " ",
     )
     return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.max("n_tokens").cast("int").alias("n_tokens"),
-            F.sum("covered").cast("int").alias("n_dup_tokens"),
+        joined.select(
+            "doc_id",
+            F.size("toks").cast("int").alias("n_tokens"),
+            F.size(F.filter(covered, lambda c: c)).cast("int").alias(
+                "n_dup_tokens"
+            ),
             F.conv(
-                F.substring(
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.array_sort(
-                                    F.collect_list(
-                                        F.when(
-                                            F.col("covered") == 0,
-                                            F.struct("pos", "tok"),
-                                        )
-                                    )
-                                ),
-                                lambda s: s["tok"],
-                            ),
-                            " ",
-                        ).cast("binary")
-                    ),
-                    1,
-                    14,
-                ),
-                16,
-                10,
+                F.substring(F.md5(kept_str.cast("binary")), 1, 14), 16, 10
             )
             .cast("bigint")
             .alias("kept_digest"),
@@ -4770,7 +4811,7 @@ def q_dsir_importance(spark, sf_dir):
     target tokens (ANSI overflow is loud beyond).  Bucket count is the
     standard DSIR knob (the paper uses 10^4 hashed n-gram buckets at
     CommonCrawl scale); B=64 keeps the driver-scale oracle readable."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _tf(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
         lambda x: (x != "") & (F.length(x) >= 2),
@@ -4784,18 +4825,25 @@ def q_dsir_importance(spark, sf_dir):
             F.lit(_DSIR_BUCKETS),
         ).alias("bucket"),
     )
-    bstats = tb.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt_r"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    # aggregate the token stream ONCE at (doc, bucket) grain, truncate
+    # lineage, and derive the corpus-wide bucket stats FROM that
+    # aggregate: the explode + per-token md5 pass runs a single time
+    # instead of once per consumer (bstats and db are differently-keyed
+    # Exchanges, so Catalyst cannot share the subplan itself)
+    db = (
+        tb.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+        .localCheckpoint()
+    )
+    bstats = db.groupBy("bucket").agg(
+        F.sum("n_b").cast("bigint").alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n_b")).otherwise(0))
         .cast("bigint")
         .alias("cnt_t"),
     )
     wts = bstats.select(
         "bucket",
         F.expr("CAST((1000000 * cnt_t) DIV cnt_r AS BIGINT)").alias("weight_e6"),
-    )
-    db = tb.groupBy("doc_id", "lang", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_b")
     )
     return (
         db.join(F.broadcast(wts), "bucket")
@@ -4879,7 +4927,7 @@ def q_ngram_lm_score(spark, sf_dir):
     bigrams and drop out (both engines)."""
     from pyspark.sql.window import Window
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _tf(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks_arr = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )
@@ -5181,7 +5229,7 @@ def q_domain_mix(spark, sf_dir):
     #domains-sized).  The totals row is a 1-row broadcast.  At 100 TB
     the output stays #domains rows; 1e6 * n_tokens holds BIGINT
     headroom to ~9e12 tokens (ANSI overflow is loud beyond)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _tf(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     per_doc = d.select(
         "source",
         F.size(
@@ -5201,6 +5249,10 @@ def q_domain_mix(spark, sf_dir):
         "s_e6",
         F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)"),
     )
+    # #domains-sized: truncate lineage so the totals agg and the final
+    # join consume this tiny table instead of re-running the corpus scan
+    # twice (Catalyst does not share the subplan across the two readers)
+    dom = dom.localCheckpoint()
     tot = dom.agg(
         F.expr("GREATEST(CAST(SUM(n_tokens) AS BIGINT), CAST(1 AS BIGINT))").alias(
             "tot_tok"
@@ -5272,7 +5324,7 @@ def q_curriculum_order(spark, sf_dir):
     difficulty value.  Corpus cost: one scan + one histogram groupBy
     Exchange + one broadcast join; no explode, no global sort of doc
     rows (the final orderBy is presentation-only at driver scale)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _tf(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     per_doc = d.select(
         "doc_id",
         "n_chars",
@@ -5291,6 +5343,11 @@ def q_curriculum_order(spark, sf_dir):
             "difficulty_e6"
         ),
     )
+    # narrow (doc_id, difficulty) decision table read three ways below
+    # (histogram, total, final join): truncate lineage so the tokenizing
+    # corpus scan runs ONCE instead of three times — the guide §8
+    # "decide with small rows" shape, with the small rows materialized
+    per_doc = per_doc.localCheckpoint()
     hist = per_doc.groupBy("difficulty_e6").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
@@ -5386,7 +5443,7 @@ def q_classifier_trainset(spark, sf_dir):
     first n_pos) needs a global row_number and is the classic
     single-partition funnel; the hash threshold trades exact balance
     for a scan-local decision."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _tf(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )
@@ -5416,6 +5473,9 @@ def q_classifier_trainset(spark, sf_dir):
             F.lit(1_000_000),
         ),
     )
+    # narrow per-doc decision table consumed twice (stats agg + final
+    # filter): truncate lineage so the tokenizing scan runs once
+    base = base.localCheckpoint()
     stats = base.agg(
         F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
         .cast("bigint")
@@ -5527,9 +5587,14 @@ def q_dedup_increment(spark, sf_dir):
         ][0]
     )
     nz = (
-        docs.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+        _tf(spark, sf_dir, "documents")
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", _spark_shingle_hashes(F.col("sh")))
+        # the signature table is read three ways below (corpus bands,
+        # batch bands, new-doc spine): materialize it once — exactly the
+        # table a production increment pipeline PERSISTS between runs
+        .localCheckpoint()
     )
     bands_all = _minhash_bands(nz, n_bands, n_rows)
     bands_new = _minhash_bands(nz.filter(F.col("doc_id") >= t), n_bands, n_rows)
