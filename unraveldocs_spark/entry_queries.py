@@ -43,7 +43,7 @@ def q_extract_turns(spark, sf_dir):
     """Full pipeline slice: derive transcripts -> salted repartition ->
     sortWithinPartitions -> Arrow-batched extraction."""
     t = derived_transcripts(spark, sf_dir)
-    out = extract_stage(salted_repartition(t, 16))
+    out = extract_stage(salted_repartition(t, max(16, spark.sparkContext.defaultParallelism)))
     return out.select(
         "conv_id",
         "turn_idx",
@@ -119,7 +119,7 @@ def q_extract_synthetic(spark, sf_dir):
         ),
         "|",
     )
-    return extract_stage(salted_repartition(t, 16)).select(
+    return extract_stage(salted_repartition(t, max(16, spark.sparkContext.defaultParallelism))).select(
         "conv_id", "turn_idx", "status", "rule", "extracted_text",
         "error_message", spans_str.alias("spans_str"), "n_chars", "n_words",
     ).orderBy("conv_id", "turn_idx")
@@ -237,7 +237,7 @@ def q_pdf_layout(spark, sf_dir):
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )
     return (
-        extract_stage(salted_repartition(t, 16))
+        extract_stage(salted_repartition(t, max(16, spark.sparkContext.defaultParallelism)))
         .select("conv_id", "turn_idx", "extracted_text", "status", "rule")
         .orderBy("conv_id", "turn_idx")
     )

@@ -2225,10 +2225,12 @@ def q_dashboard_kpi(spark, sf_dir):
     rollup is a single-row aggregate — partial map-side sums everywhere,
     no wide shuffle at any size."""
     c = _t(spark, sf_dir, "customer")
-    e = _t(spark, sf_dir, "events")
+    e = _tf(spark, sf_dir, "events")
+    # per-user activity is read twice (global "now" + the user join):
+    # materialize the narrow #users-sized aggregate once
     activity = e.groupBy(F.col("user_id")).agg(
         F.min("ts").alias("created_ts"), F.max("ts").alias("last_login")
-    )
+    ).localCheckpoint()
     now_df = activity.agg(F.max("last_login").alias("now_ts"))
     ck = F.col("c_custkey")
     u = c.select(

@@ -57,8 +57,19 @@ def _row_groups(path: str) -> int:
 def fan_out(spark, df, path: str):
     """Repartition ``df`` to the session's default parallelism iff the
     parquet input at ``path`` has fewer row groups than cores (the scan
-    cannot reach core-count parallelism on its own).  Identity at scale."""
+    cannot reach core-count parallelism on its own).  Identity at scale.
+
+    The repartitioned frame is ALSO localCheckpoint()ed: Catalyst pushes
+    deterministic filters below a repartition, so a downstream filter on
+    a derived column (``score > 0``, ``size(shingles) > 0``) would
+    otherwise re-derive the whole expression on the unsplit 1-2-task
+    scan — exactly the serialization the fan-out exists to remove.  The
+    checkpoint is a plan barrier that keeps every derived expression
+    above the 32-way partitioning, and multi-branch queries read the
+    materialized input instead of re-scanning.  At production scale the
+    branch is not taken, so parquet filter/column pushdown is untouched
+    where it actually matters."""
     cores = spark.sparkContext.defaultParallelism
     if _row_groups(path) >= cores:
         return df
-    return df.repartition(cores)
+    return df.repartition(cores).localCheckpoint()

@@ -36,6 +36,17 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing's 1m default floor collapses BYTE-small shuffles
+        # (narrow band/candidate rows) to 1-2 partitions, serializing the
+        # compute-heavy stage that reads them (e.g. 64-dim cosine per
+        # candidate pair).  A lower floor only binds when shuffle bytes
+        # are tiny relative to the core count — at production volumes
+        # totalBytes/parallelism >> this floor, so the setting is inert
+        # there; override via env for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         # 128m is right for a real cluster reading 100 TB; the local bench

@@ -137,8 +137,7 @@ def _jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cands = _minhash_candidate_pairs(
         _tf(spark, sf_dir, "documents")
-        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0),
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh")),
         shape_n=docs.count(),  # metadata-cheap parquet count
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -258,19 +257,30 @@ def _minhash_candidate_pairs(d, n_bands: int | None = None,
         n_bands = n_bands if n_bands is not None else auto_bands
         n_rows = n_rows if n_rows is not None else auto_rows
     assert n_bands * n_rows <= _MH_K, (n_bands, n_rows, _MH_K)
-    d = d.withColumn("hs", _spark_shingle_hashes(F.col("sh")))
-    # The shingle array RIDES THROUGH the band explode here (4x data)
-    # rather than joining back per side: MinHash band keys are
-    # 42-bit-hash tuples, so buckets — and candidate pairs — are rare,
-    # and re-deriving the shingles+minhashes for two join-back branches
-    # costs far more than shuffling them once (measured 4s vs 52s at
-    # sf0.1).  Contrast q_dedup_embedding_cosine, whose 4-bit band values
-    # make candidates dense: there the narrow-candidates + join-back
-    # shape wins.
+    # r7 shape: MATERIALIZE the (doc_id, sh, hs) signature-input table
+    # once (the table a production pipeline persists between runs), then
+    # run NARROW band rows (ids + band key only) through the self-join
+    # and dedupe on the id pair alone, joining the shingle arrays back
+    # from the materialized table.  The r6 shape carried sh through the
+    # explode instead, which was right when re-deriving shingles meant
+    # re-running the corpus scan (measured 13x slower then) — but it
+    # made the self-join compute the whole signature pipeline TWICE
+    # (Catalyst broadcast one side rather than reuse the exchange) and
+    # forced dropDuplicates into a SortAggregate over array-carrying
+    # rows.  With the checkpoint, the join-back is a cheap read of the
+    # materialized table and both penalties disappear.  The empty-
+    # shingle filter runs AFTER the checkpoint so its predicate cannot
+    # be pushed below the fan-out repartition (where it re-derived the
+    # shingles on the unsplit scan).
+    d = (
+        d.withColumn("hs", _spark_shingle_hashes(F.col("sh")))
+        .localCheckpoint()
+        .filter(F.size("sh") > 0)
+    )
     bands = _minhash_bands(d, n_bands, n_rows)
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -280,18 +290,32 @@ def _minhash_candidate_pairs(d, n_bands: int | None = None,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_tbl = d.select("doc_id", "sh")
+    return (
+        cand_ids.join(
+            sh_tbl.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        ).join(
+            sh_tbl.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
     )
 
 
 def _minhash_bands(d, n_bands: int, n_rows: int):
-    """(doc_id, sh, hs) -> exploded LSH band rows (doc_id, sh, band_idx,
-    band_key).  The signature table shape a production increment pipeline
-    PERSISTS between runs; shared by the symmetric pair builder above and
-    the asymmetric new-batch join in q_dedup_increment."""
+    """(doc_id, sh, hs) -> exploded NARROW LSH band rows (doc_id,
+    band_idx, band_key) — the shingle payload stays behind; pair
+    builders join it back from the materialized signature table.
+    Shared by the symmetric pair builder above and the asymmetric
+    new-batch join in q_dedup_increment."""
 
     def _min_hash(j):
         # one-arg lambda: pyspark would bind a 2nd arg to the array index
@@ -304,10 +328,9 @@ def _minhash_bands(d, n_bands: int, n_rows: int):
         ).alias(f"m{j}")
 
     mins = [_min_hash(j) for j in range(n_bands * n_rows)]
-    sigs = d.select("doc_id", "sh", *mins)
+    sigs = d.select("doc_id", *mins)
     return sigs.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -325,7 +348,7 @@ def _minhash_bands(d, n_bands: int, n_rows: int):
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_idx", "band.band_key")
+    ).select("doc_id", "band.band_idx", "band.band_key")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -336,8 +359,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cands = _minhash_candidate_pairs(
         _tf(spark, sf_dir, "documents")
-        .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0),
+        .select("doc_id", _spark_shingles(F.col("text")).alias("sh")),
         shape_n=docs.count(),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -551,8 +573,9 @@ def q_dedup_paragraph(spark, sf_dir):
     # switches band arms on it, so parity holds at every scale.
     cands = _minhash_candidate_pairs(
         keepers.select(
-            F.col("para_id").alias("doc_id"), _spark_shingles(F.col("para")).alias("sh")
-        ).filter(F.size("sh") > 0),
+            F.col("para_id").alias("doc_id"),
+            _spark_shingles(F.col("para")).alias("sh"),
+        ),
         shape_n=paragraph_upper_bound(_t(spark, sf_dir, "documents")),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -673,16 +696,21 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     e = _tf(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x))
+    # materialize both derived tables: `unit` feeds the a- and b-side
+    # join-backs (was normalized twice) and `sigs` feeds both sides of
+    # the band self-join (Catalyst broadcast one side and re-ran the
+    # PYTHON signature stage for it — the worst thing to compute twice)
     unit = (
         e.select("vec_id", dv.alias("v"), norm.alias("nrm"))
         .select(
             "vec_id",
             F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit"),
         )
+        .localCheckpoint()
     )
     sigs = signature_stage(e, dim=EMB_DIM, bits=_EC_BANDS * band_bits).select(
         "vec_id", "signature"
-    )
+    ).localCheckpoint()
     mask = (1 << band_bits) - 1
     # candidate generation stays NARROW (ids + band key only): the 64-dim
     # vectors never ride through the explode or the pair dedup shuffle —
@@ -965,24 +993,23 @@ def connected_components(pairs, max_iters: int = _CC_MAX_ITERS):
             .groupBy(edges.doc_a.alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # r7: the convergence flag rides the propagation join itself —
+        # labels only ever DECREASE, so "changed" is exactly
+        # nbr_label < label, known at join time; the old shape paid a
+        # second full join of new vs old labels every round
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
+                    "new_label"
                 ),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             return labels
     # min-label propagation needs ~component-diameter rounds: a chain
@@ -1216,12 +1243,14 @@ def q_knn_join(spark, sf_dir):
     e = _tf(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x))
+    # materialized once: `unit` joins back per side, `sigs` feeds both
+    # sides of the band self-join (see q_dedup_embedding_cosine)
     unit = e.select("vec_id", dv.alias("v"), norm.alias("nrm")).select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit")
-    )
+    ).localCheckpoint()
     sigs = signature_stage(
         e, dim=EMB_DIM, bits=_KNN_BANDS * band_bits
-    ).select("vec_id", "signature")
+    ).select("vec_id", "signature").localCheckpoint()
     mask = (1 << band_bits) - 1
     bands = sigs.select(
         "vec_id",
@@ -2016,8 +2045,7 @@ def q_corpus_build_full(spark, sf_dir):
     # shape_n from the cheap base-table count (upper bound on the gate
     # survivors the bands actually see)
     cands = _minhash_candidate_pairs(
-        kept.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0),
+        kept.select("doc_id", _spark_shingles(F.col("text")).alias("sh")),
         shape_n=_t(spark, sf_dir, "documents").count(),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -2439,9 +2467,13 @@ def q_contamination_check(spark, sf_dir):
     (eval suites are MBs, the corpus is TBs), so it is explicitly
     F.broadcast — the corpus side never shuffles; one groupBy(doc_id)
     aggregates the hit counts."""
+    # materialize the shingle table once: both branches (benchmark set,
+    # corpus side) consume it, and the size(sh) predicate would
+    # otherwise push below the fan-out repartition and re-derive the
+    # shingles on the unsplit scan
     d = _tf(spark, sf_dir, "documents").select(
         "doc_id", _spark_shingles(F.col("text")).alias("sh")
-    )
+    ).localCheckpoint()
     bench_sh = (
         d.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("sh").alias("sh"))
@@ -2673,7 +2705,11 @@ def q_corpus_export_shards(spark, sf_dir):
     )
 
     # decontamination: original-text bigrams vs the benchmark set
-    sh = d.select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
+    # materialized once: benchmark-set and contamination branches both
+    # read it, and the size(sh) predicate stays above the fan-out
+    sh = d.select(
+        "doc_id", _spark_shingles(F.col("text")).alias("sh")
+    ).localCheckpoint()
     bench_sh = (
         sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("sh").alias("sh"))
@@ -5589,17 +5625,23 @@ def q_dedup_increment(spark, sf_dir):
     nz = (
         _tf(spark, sf_dir, "documents")
         .select("doc_id", _spark_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
         .withColumn("hs", _spark_shingle_hashes(F.col("sh")))
-        # the signature table is read three ways below (corpus bands,
-        # batch bands, new-doc spine): materialize it once — exactly the
-        # table a production increment pipeline PERSISTS between runs
+        # the signature table is read four ways below (corpus bands,
+        # batch bands, new-doc spine, shingle join-back): materialize it
+        # once — exactly the table a production increment pipeline
+        # PERSISTS between runs.  The empty-shingle filter runs AFTER
+        # the checkpoint so its predicate cannot be pushed below the
+        # fan-out repartition (where it re-derived shingles on the
+        # unsplit scan).
         .localCheckpoint()
+        .filter(F.size("sh") > 0)
     )
     bands_all = _minhash_bands(nz, n_bands, n_rows)
     bands_new = _minhash_bands(nz.filter(F.col("doc_id") >= t), n_bands, n_rows)
     a, b = bands_all.alias("a"), bands_new.alias("b")
-    cands = (
+    # narrow candidate ids first, shingles joined back from the
+    # materialized signature table (see _minhash_candidate_pairs)
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -5609,10 +5651,16 @@ def q_dedup_increment(spark, sf_dir):
         .select(
             F.col("b.doc_id").alias("doc_id"),
             F.col("a.doc_id").alias("other"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_id", "other"])
+    )
+    sh_tbl = nz.select("doc_id", "sh")
+    cands = cand_ids.join(
+        sh_tbl.select(F.col("doc_id").alias("other"), F.col("sh").alias("sh_a")),
+        "other",
+    ).join(
+        sh_tbl.select(F.col("doc_id"), F.col("sh").alias("sh_b")),
+        "doc_id",
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
