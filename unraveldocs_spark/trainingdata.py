@@ -30,13 +30,18 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _tf(spark, sf_dir, name):
+def _tf(spark, sf_dir, name, cols=None):
     """_t plus scale-adaptive scan fan-out: when the parquet input has
     fewer row groups than cores (single-row-group driver files), the
     heavy per-row work above the scan would run on 1-2 tasks; a
     round-robin repartition spreads it.  Identity at production scale
-    (see scanfan.fan_out)."""
-    return fan_out(spark, _t(spark, sf_dir, name), f"{sf_dir}/{name}.parquet")
+    (see scanfan.fan_out).  ``cols`` prunes the projection BEFORE the
+    fan-out barrier — the checkpoint materializes every column it is
+    given, so wide unused columns must not ride through it."""
+    df = _t(spark, sf_dir, name)
+    if cols is not None:
+        df = df.select(*cols)
+    return fan_out(spark, df, f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -1682,7 +1687,7 @@ def q_props_extract(spark, sf_dir):
     extraction never leaves the executor; one shuffle for the low-
     cardinality groupBy.  Mean emitted via integer DIV (sum + count ride
     along), per the FP-parity rules."""
-    e = _tf(spark, sf_dir, "events")
+    e = _tf(spark, sf_dir, "events", cols=["event_type", "props"])
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
         e.select("event_type", k.alias("k"))
@@ -2952,7 +2957,10 @@ def q_event_type_pivot(spark, sf_dir):
 
     Scale shape: one groupBy(user_id) shuffle; the pivot is a conditional
     aggregation inside the same hash aggregate, not a join."""
-    e = _tf(spark, sf_dir, "events")
+    # NOT fanned out: the pivot is one conditional hash aggregate with
+    # map-side partials — per-row work is trivial, so a fan-out shuffle
+    # of the raw rows costs more than the single-task scan it replaces
+    e = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
     piv = (
         e.select("user_id", "event_type", cents.alias("c"))
