@@ -901,6 +901,65 @@ class TestExactSubstringDedup:
         assert rows[3].n_dup_tokens == 0
         assert rows[3].kept_digest == digest56(["w1", "w2", "w3", "w4", "w5", "w6"])
 
+    def test_null_text_doc_dropped(self, spark, tmp_path):
+        """r7 doc-local rewrite: a NULL-text document must be DROPPED
+        (the oracle's UNNEST over a NULL range yields no rows, and the
+        r6 explode-based shape emitted none) — the doc-local form needs
+        an explicit filter to match."""
+        from unraveldocs_spark.trainingdata import q_exact_substring_dedup
+
+        d = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h a b c d e f g h"),
+                (2, None),
+                (3, "a b c d e f g h a b c d e f g h"),
+            ],
+            "doc_id long, text string",
+        )
+        d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        ids = [
+            r.doc_id
+            for r in q_exact_substring_dedup(spark, str(tmp_path)).collect()
+        ]
+        assert ids == [1, 3], ids
+
+
+class TestQualityRepetitionRunFold:
+    def test_sorted_run_fold_matches_brute_force(self, spark, tmp_path):
+        """r7 per-row rewrite: the longest-equal-run fold over the
+        sorted bigram array must equal the brute-force max bigram
+        multiplicity, across repeated/unique/degenerate docs."""
+        from collections import Counter
+
+        from unraveldocs_spark.trainingdata import q_quality_repetition
+
+        texts = [
+            "spam spam spam spam spam",          # one dominant bigram
+            "a b a b a b c",                      # alternating
+            "x y",                                # single bigram
+            "solo",                               # no bigram -> excluded
+            "p q r p q r p q",                    # period-3 repeats
+        ]
+        d = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = {
+            r.doc_id: r
+            for r in q_quality_repetition(spark, str(tmp_path)).collect()
+        }
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            bigrams = [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            if not bigrams:
+                assert i not in rows
+                continue
+            c = Counter(bigrams)
+            assert rows[i].top_bigram_count == max(c.values()), (i, t)
+            assert rows[i].n_bigrams == len(bigrams), (i, t)
+
 
 class TestWideBandShapeEndToEnd:
     def test_wide_shape_still_finds_planted_duplicates(self, spark):

@@ -4335,7 +4335,12 @@ def q_exact_substring_dedup(spark, sf_dir):
 
     d = _tf(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = d.select("doc_id", toks.alias("toks"))
+    # NULL-text docs produce no token rows in the oracle (UNNEST of a
+    # NULL range) and produced none in the explode-based r6 shape; the
+    # doc-local form must drop them explicitly or it would emit a row
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("toks")
+    )
 
     # guard: Spark sequence(0, -1) counts DOWN; docs shorter than k emit
     # no grams via an explicit empty array
