@@ -1,7 +1,10 @@
 """Pins for the bench positional-noise guard (tools/bench_recheck.py):
-ratio + absolute floor verdicts, and the window-inflation control that
-separates a loud box from a real code regression."""
+ratio + absolute floor verdicts, the window-inflation control that
+separates a loud box from a real code regression, and (r7) the compact
+inline contract that keeps the frozen bench.py's single output line
+inside the round driver's 2,000-char stdout tail capture."""
 
+import json
 import sys
 
 
@@ -20,12 +23,12 @@ def _qfns(names):
 
 
 def _run(monkeypatch, per_query, prev, isolated):
-    """Drive recheck_regressions with fake isolated timings: the Nth
+    """Drive recheck_detail with fake isolated timings: the Nth
     _best_of call returns isolated[N] (flagged queries first, then
     controls in selection order)."""
     seq = iter(isolated)
     monkeypatch.setattr(br, "_best_of", lambda fn, reps: next(seq))
-    return br.recheck_regressions(
+    return br.recheck_detail(
         spark=None,
         sf_dir="",
         qfns=_qfns(set(per_query) | set(prev)),
@@ -87,7 +90,7 @@ class TestWindowInflation:
 
 class TestEdges:
     def test_missing_retimer_is_labeled(self):
-        out = br.recheck_regressions(
+        out = br.recheck_detail(
             spark=None,
             sf_dir="",
             qfns={},
@@ -99,3 +102,91 @@ class TestEdges:
     def test_no_baseline_is_skipped(self, monkeypatch):
         out = _run(monkeypatch, {"new_q": 9.0}, {"new_q": None}, [])
         assert out == {}
+
+
+class TestCompactContract:
+    """recheck_regressions (what the FROZEN bench.py inlines) must return
+    compact {name: verdict} strings and stash the numbers in a side file,
+    so the one-line artifact survives the driver's 2,000-char tail even
+    in a worst-case every-query-flagged window (VERDICT r6 #2)."""
+
+    def _compact(self, monkeypatch, tmp_path, per_query, prev, isolated):
+        seq = iter(isolated)
+        monkeypatch.setattr(br, "_best_of", lambda fn, reps: next(seq))
+        written = {}
+        monkeypatch.setattr(
+            br, "_write_detail", lambda d, repo=None: written.update(d)
+        )
+        out = br.recheck_regressions(
+            spark=None,
+            sf_dir="",
+            qfns=_qfns(set(per_query) | set(prev)),
+            per_query=per_query,
+            prev=prev,
+        )
+        return out, written
+
+    def test_values_are_verdict_strings(self, monkeypatch, tmp_path):
+        per_query = {"flagged": 6.0, "ok": 1.0}
+        prev = {"flagged": 3.0, "ok": 1.0}
+        # second isolated timing = the 'ok' window control at 1.0x
+        out, written = self._compact(
+            monkeypatch, tmp_path, per_query, prev, [6.1, 1.0]
+        )
+        assert out["flagged"] == "regressed"
+        assert out["_window_inflation"] == "x1.0"
+        assert written["flagged"]["best_isolated"] == 6.1
+
+    def test_window_entry_compacted(self, monkeypatch, tmp_path):
+        per_query = {"flagged": 4.8}
+        prev = {"flagged": 3.0, "c1": 3.5, "c2": 2.0, "c3": 1.0}
+        out, _ = self._compact(
+            monkeypatch, tmp_path, per_query, prev,
+            [4.9, 3.5 * 1.5, 2.0 * 1.5, 1.0 * 1.5],
+        )
+        assert out["flagged"].startswith("window-inflation")
+        assert out["_window_inflation"] == "x1.5"
+
+    def test_detail_side_file(self, monkeypatch, tmp_path):
+        detail = {"q": {"suite": 3.0, "prev": 1.0, "verdict": "regressed"}}
+        br._write_detail(detail, repo=str(tmp_path))
+        files = list((tmp_path / "BENCH").glob("recheck_*.json"))
+        assert len(files) == 1
+        payload = json.loads(files[0].read_text())
+        assert payload["detail"] == detail
+
+    def test_empty_detail_writes_nothing(self, tmp_path):
+        br._write_detail({}, repo=str(tmp_path))
+        assert not (tmp_path / "BENCH").exists()
+
+    def test_bench_line_bounded_worst_case(self, monkeypatch, tmp_path):
+        """Reconstruct the frozen bench.py JSON line with EVERY suite
+        query flagged (the r6 failure mode) and assert it stays inside
+        the driver's tail capture with headroom."""
+        import bench as bench_mod
+
+        names = ["extract_transcripts"] + list(bench_mod.HEADLINE_QUERIES)
+        per_query = {n: 9.999 for n in names}
+        prev = {n: 1.0 for n in names}
+        isolated = [9.9] * len(names) + [9.9] * br.CONTROLS
+        out, written = self._compact(
+            monkeypatch, tmp_path, per_query, prev, isolated
+        )
+        assert len(written) >= len(names)  # full detail kept in side file
+        assert out["_more"].endswith("BENCH/recheck json")  # inline capped
+        assert len(json.dumps(out)) < 400
+        line = json.dumps(
+            {
+                "metric": "extraction+operator suite wall time",
+                "value": 9999.999,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": 1.0,
+                "n_turns": 5080203,
+                "turns_per_sec": 330728.1,
+                "parallelism": 32,
+                "recheck_vs": "BENCH_r06.json",
+                "recheck": out,
+            }
+        )
+        assert len(line) < 1800, len(line)

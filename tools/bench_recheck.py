@@ -9,6 +9,17 @@ immediately re-timed isolated best-of-``REPS`` (the EXTRACT_RECHECK.md
 protocol) in the same session, and the per-query verdict ships inline in
 the bench JSON under ``"recheck"``.
 
+One-line-contract guard (r7, VERDICT r6 #2): the round driver captures
+only the last ~2,000 chars of bench stdout, and r6's artifact lost its
+entire machine-readable payload because a loud window flagged enough
+queries to push the inline recheck dict past that tail.  bench.py is
+frozen, but it inlines whatever ``recheck_regressions`` RETURNS — so
+this module now returns only compact ``{name: verdict-string}`` entries
+(~25 chars each; even an every-query-flagged window stays well inside
+the tail) and writes the full numeric detail to
+``BENCH/recheck_r0N.json`` instead.  The detail computation itself is
+unchanged (``recheck_detail``).
+
 Standalone use (re-times explicit names at the bench sf):
 
     python tools/bench_recheck.py props_extract sessionize
@@ -81,6 +92,80 @@ def _best_of(fn, reps: int) -> float:
 
 
 def recheck_regressions(
+    spark,
+    sf_dir: str,
+    qfns: dict,
+    per_query: dict[str, float],
+    prev: dict[str, float],
+    factor: float = FACTOR,
+    reps: int = REPS,
+) -> dict[str, str]:
+    """Driver-facing wrapper: compute the full recheck detail, persist it
+    to ``BENCH/recheck_r0N.json``, and return only compact
+    ``{name: verdict}`` strings for the frozen bench.py to inline — the
+    one-line artifact stays parseable under the driver's 2,000-char tail
+    capture regardless of how many queries a loud window flags."""
+    detail = recheck_detail(
+        spark, sf_dir, qfns, per_query, prev, factor=factor, reps=reps
+    )
+    _write_detail(detail)
+    return _compact_verdicts(detail)
+
+
+# The frozen bench.py's fixed payload (53 per-query entries + metadata)
+# measures ~1.57k chars; the driver tail keeps the last 2,000.  The
+# inline recheck dict therefore gets a hard serialized budget, spent on
+# the most alarming verdicts first — the full numbers are in the side
+# file either way.
+INLINE_BUDGET_CHARS = 150
+_VERDICT_PRIORITY = ("regressed", "window-inflation", "no-isolated-retimer",
+                     "noise-floor", "noise")
+
+
+def _compact_verdicts(detail: dict) -> dict[str, str]:
+    def rank(item):
+        name, r = item
+        if name == "_window_inflation":
+            return (-1, name)  # always first: one short, load-bearing entry
+        v = r["verdict"]
+        for i, p in enumerate(_VERDICT_PRIORITY):
+            if v.startswith(p):
+                return (i, name)
+        return (len(_VERDICT_PRIORITY), name)
+
+    compact: dict[str, str] = {}
+    dropped = 0
+    for name, r in sorted(detail.items(), key=rank):
+        val = f"x{r['median']}" if name == "_window_inflation" else r["verdict"]
+        if len(json.dumps({**compact, name: val})) > INLINE_BUDGET_CHARS:
+            dropped += 1
+            continue
+        compact[name] = val
+    if dropped:
+        compact["_more"] = f"{dropped} in BENCH/recheck json"
+    return compact
+
+
+def _write_detail(detail: dict, repo: str | None = None) -> None:
+    """Persist the full numeric recheck detail next to the round
+    artifacts.  Best-effort: the bench line must still print if the
+    checkout is read-only."""
+    if not detail:
+        return
+    if repo is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev_name, _ = previous_bench(repo)
+    m = re.search(r"BENCH_r(\d+)\.json$", prev_name or "")
+    stem = f"recheck_r{int(m.group(1)) + 1:02d}" if m else "recheck_latest"
+    try:
+        os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+        with open(os.path.join(repo, "BENCH", f"{stem}.json"), "w") as fh:
+            json.dump({"recheck_vs": prev_name, "detail": detail}, fh, indent=1)
+    except OSError:
+        pass
+
+
+def recheck_detail(
     spark,
     sf_dir: str,
     qfns: dict,
